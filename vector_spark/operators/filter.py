@@ -1,0 +1,17 @@
+"""filter — keep events matching a condition, drop the rest.
+
+Parity: src/transforms/filter.rs:74-83. Conditions are Spark boolean
+Columns (the Condition enum of src/conditions/mod.rs:22-47 all lower
+to Column predicates in this engine). Trivial by design: the value is
+that the predicate is declarative, so Catalyst pushes it into the
+parquet scan (PushedFilters) instead of evaluating post-read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_events(df: DataFrame, condition: Column) -> DataFrame:
+    return df.filter(F.coalesce(condition, F.lit(False)))
