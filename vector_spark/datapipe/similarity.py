@@ -1,0 +1,134 @@
+"""Embedding similarity search (ANN) over array<float> columns.
+
+Brute-force cosine top-k is the correctness baseline: broadcast the
+(small) query set, compute dot products with JVM higher-order
+functions (zip_with + aggregate — stays in codegen, no Python), rank
+per query. The scale path prunes with a coarse quantization bucket
+(IVF-style): candidates are limited to vectors sharing the query's
+bucket, turning the cross join into an equi-join on bucket — the
+standard inverted-file trade (recall vs cost) with the probe count as
+the knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force exact top-k: (qid, vec_id, rank, sim). Queries are
+    broadcast (small by construction); similarity + rank run JVM-side."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", "sim")
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    bucket_join: bool = False,
+) -> DataFrame:
+    """All pairs (a<b) with cosine >= threshold. bucket_join=True
+    restricts comparison to vectors sharing a quantization bucket —
+    the O(n^2) -> O(sum bucket^2) scale path."""
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if bucket_join:
+        v = v.withColumn("bucket", quantize_bucket(F.col("vec")))
+        a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+        b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def quantize_bucket(vec: Column, dims: int = 4, scale: float = 5.0) -> Column:
+    """IVF-style coarse bucket: sign+magnitude quantization of the
+    first `dims` components -> string key. Deterministic, SQL-portable."""
+    parts = [
+        F.floor(F.element_at(vec, i + 1).cast("double") * scale).cast("string")
+        for i in range(dims)
+    ]
+    return F.concat_ws("_", *parts)
+
+
+def ann_bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's quantization
+    bucket (single equi-join — shuffles by bucket, no cross join).
+    Returns (qid, vec_id, rank, sim); recall < 1 by design."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        quantize_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        quantize_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", "sim")
+    )

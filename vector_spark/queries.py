@@ -1,0 +1,957 @@
+"""Driver-contract query registry: every implemented operator exposed
+as a (spark, sf_dir) -> DataFrame callable with a matching DuckDB
+oracle SQL string (column names/types aligned; see __spark_entry__).
+
+Conventions for engine-to-engine parity:
+- timestamps are projected as epoch-second BIGINTs (no TZ/format traps)
+- integer outputs cast to BIGINT on both sides (DuckDB sum() yields
+  HUGEINT, Spark count() yields LONG — both normalized)
+- doubles rounded (2/4/6 dp as noted); inputs are 2-decimal money-ish
+  values so rounding boundaries are never within fp noise
+- every computed column aliased identically in Spark and SQL
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_spark.datapipe.dedup import (
+    MH_A,
+    MH_B,
+    MH_P,
+    exact_dedup_keys,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from vector_spark.datapipe.similarity import (
+    ann_bucketed_topk,
+    cosine_near_dup_pairs,
+    cosine_topk,
+)
+from vector_spark.datapipe.textstats import lang_guess, quality_score, token_count
+from vector_spark.functions.hashes import consistent_keyed_hash, consistent_keyed_hash_sql
+from vector_spark.operators.cardinality import tag_cardinality_limit
+from vector_spark.operators.dedupe import dedupe
+from vector_spark.operators.enrich import enrich_lookup
+from vector_spark.operators.filter import filter_events
+from vector_spark.operators.line_agg import line_agg
+from vector_spark.operators.reduce import reduce_groups
+from vector_spark.operators.route import route
+from vector_spark.operators.sample import sample
+from vector_spark.operators.throttle import throttle
+from vector_spark.plans.transcript_pipeline import (
+    enrich_stage,
+    parse_stage,
+    route_stage,
+)
+from vector_spark.sources.synth import ensure_transcripts_file
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE_TRANSCRIPTS = os.path.join(REPO_DIR, "data", "transcripts_sf0.01.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _prep(spark: SparkSession) -> None:
+    from vector_spark.deploy import ship_package
+    from vector_spark.session import tune_session
+
+    tune_session(spark)
+    ship_package(spark)
+
+
+def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transcripts table for a scale dir — materialized
+    deterministically as a single parquet file so the DuckDB oracle
+    reads the same bytes."""
+    path = ensure_transcripts_file(sf_dir)
+    return spark.read.parquet(path)
+
+
+# --------------------------------------------------------------------------
+# flagship pipeline queries (transcripts)
+# --------------------------------------------------------------------------
+
+# shared oracle prelude replicating parse -> enrich -> route semantics
+_REQ_RE = r"^(\w+) (\S+) status=([+-]?\d+) dur_ms=([+-]?\d+)$"
+_PIPE_CTE = f"""
+WITH t AS (
+  SELECT *,
+    CASE WHEN text LIKE '{{%' THEN 'json'
+         WHEN regexp_matches(text, '^(GET|POST|PUT|DELETE) /') THEN 'request'
+         WHEN text LIKE 'action=%' THEN 'kv'
+         ELSE 'free' END AS template
+  FROM read_parquet('{ORACLE_TRANSCRIPTS}')
+), p AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, template,
+    CASE WHEN template='request'
+         THEN try_cast(regexp_extract(text, '{_REQ_RE}', 3) AS BIGINT) END AS status,
+    CASE WHEN template='request'
+         THEN try_cast(regexp_extract(text, '{_REQ_RE}', 4) AS BIGINT) END AS dur_ms,
+    CASE WHEN template='kv'
+         THEN try_cast(nullif(regexp_extract(text, 'tokens=([0-9]+)', 1), '') AS BIGINT) END AS tokens,
+    CASE WHEN template='free'
+         THEN nullif(regexp_extract(text, 'err_code=(E[0-9]{{3}})', 1), '') END AS err_code,
+    CASE WHEN lower(role) IN ('user','assistant','tool','system')
+         THEN lower(role) ELSE 'other' END AS role_norm
+  FROM t
+  WHERE NOT (template = 'json' AND NOT json_valid(text))
+), e AS (
+  SELECT p.*, d.tool_category, d.risk_level
+  FROM p LEFT JOIN (VALUES ('bash','shell',3),('search','retrieval',1),
+                           ('browser','web',2),('editor','code',2))
+       AS d(tool, tool_category, risk_level) ON p.tool = d.tool
+), r AS (
+  SELECT e.*,
+    coalesce(err_code IS NOT NULL OR status >= 500, FALSE) AS is_errors,
+    (role_norm = 'tool') AS is_tool_calls,
+    coalesce(dur_ms > 1000, FALSE) AS is_slow
+  FROM e
+)
+"""
+
+
+def _pipeline_routed(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    _prep(spark)
+    df = transcripts(spark, sf_dir)
+    ok, _dropped = parse_stage(df)
+    enriched = enrich_stage(ok, spark)
+    return route_stage(enriched, cache=True)
+
+
+def _typed(df: DataFrame) -> DataFrame:
+    return df.select(
+        "conv_id",
+        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        F.col("status").cast("bigint").alias("status"),
+        F.col("dur_ms").cast("bigint").alias("dur_ms"),
+        F.col("tokens").cast("bigint").alias("tokens"),
+        "err_code",
+        "role_norm",
+        "tool_category",
+        "ts",
+    )
+
+
+def _route_keys(name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        routed = _pipeline_routed(spark, sf_dir)
+        return routed[name].select(
+            "conv_id", F.col("turn_idx").cast("bigint").alias("turn_idx")
+        )
+
+    return q
+
+
+def _route_keys_sql(flag_expr: str) -> str:
+    return (
+        _PIPE_CTE
+        + f"SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx FROM r WHERE {flag_expr}"
+    )
+
+
+def q_pipe_parse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    ok, _ = parse_stage(transcripts(spark, sf_dir))
+    return ok.select(
+        "conv_id",
+        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        F.col("status").cast("bigint").alias("status"),
+        F.col("dur_ms").cast("bigint").alias("dur_ms"),
+        F.col("tokens").cast("bigint").alias("tokens"),
+        F.col("err_code"),
+        F.col("template"),
+    )
+
+
+SQL_PIPE_PARSE_TYPED = (
+    _PIPE_CTE
+    + """SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, status, dur_ms,
+              tokens, err_code, template FROM p"""
+)
+
+
+def q_pipe_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    _, dropped = parse_stage(transcripts(spark, sf_dir))
+    return dropped.select(
+        "conv_id",
+        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        F.col("metadata_dropped.reason").alias("reason"),
+    )
+
+
+SQL_PIPE_DROPPED = f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, 'error' AS reason
+FROM read_parquet('{ORACLE_TRANSCRIPTS}')
+WHERE text LIKE '{{%' AND NOT json_valid(text)
+"""
+
+
+def q_pipe_enrich_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    ok, _ = parse_stage(transcripts(spark, sf_dir))
+    enriched = enrich_stage(ok, spark)
+    return enriched.filter(F.col("tool").isNotNull()).select(
+        "conv_id",
+        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        "tool",
+        "tool_category",
+        F.col("risk_level").cast("bigint").alias("risk_level"),
+    )
+
+
+SQL_PIPE_ENRICH_TOOLS = (
+    _PIPE_CTE
+    + """SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, tool, tool_category,
+              CAST(risk_level AS BIGINT) AS risk_level
+       FROM e WHERE tool IS NOT NULL"""
+)
+
+
+def _agg_projection(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(
+            (F.floor(F.unix_timestamp(F.col("ts")) / 600) * 600).cast("bigint").alias("ws_epoch"),
+            "role_norm",
+            "tool_category",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.sum(F.coalesce(F.col("dur_ms"), F.lit(0))).cast("bigint").alias("dur_ms_sum"),
+        )
+    )
+
+
+def q_pipe_agg_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _pipeline_routed(spark, sf_dir)
+    return _agg_projection(routed["errors"])
+
+
+def q_pipe_agg_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    ok, _ = parse_stage(transcripts(spark, sf_dir))
+    return _agg_projection(enrich_stage(ok, spark))
+
+
+def _agg_sql(source: str) -> str:
+    return (
+        _PIPE_CTE
+        + f"""
+SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS ws_epoch, role_norm, tool_category,
+       CAST(count(*) AS BIGINT) AS events,
+       CAST(sum(coalesce(dur_ms, 0)) AS BIGINT) AS dur_ms_sum
+FROM r {source} GROUP BY 1, 2, 3"""
+    )
+
+
+# --------------------------------------------------------------------------
+# operator queries over the events table
+# --------------------------------------------------------------------------
+
+
+def q_op_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    out = filter_events(ev, (F.col("event_type") == "error") & (F.col("value") > 100))
+    return out.select("event_id", F.round("value", 2).alias("value"))
+
+
+SQL_OP_FILTER = """
+SELECT event_id, round(value, 2) AS value FROM events
+WHERE event_type = 'error' AND value > 100
+"""
+
+
+def q_op_remap_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators.remap import remap
+
+    ev = _tbl(spark, sf_dir, "events")
+    ok, _ = remap(
+        ev,
+        {
+            "k": F.get_json_object(F.col("props"), "$.k").cast("bigint"),
+            "vbucket": F.floor(F.col("value") / 50).cast("bigint"),
+        },
+    )
+    return ok.select("event_id", "k", "vbucket")
+
+
+SQL_OP_REMAP_JSON = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(floor(value / 50) AS BIGINT) AS vbucket
+FROM events
+"""
+
+
+def q_op_sample_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    out = sample(ev, rate=10, key=F.col("user_id"), hash_fn=consistent_keyed_hash)
+    return out.select("event_id", F.col("sample_rate").cast("bigint").alias("sample_rate"))
+
+
+SQL_OP_SAMPLE_KEYED = f"""
+SELECT event_id, CAST(10 AS BIGINT) AS sample_rate FROM events
+WHERE ({consistent_keyed_hash_sql("user_id")}) % 10 = 0
+"""
+
+
+def q_op_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    out = dedupe(ev, match=["user_id", "event_type"], order_by=[F.col("ts"), F.col("event_id")])
+    return out.select("event_id")
+
+
+SQL_OP_DEDUPE = """
+SELECT event_id FROM (
+  SELECT event_id, row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_op_reduce_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "day_epoch", (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("bigint")
+    )
+    out = reduce_groups(
+        ev,
+        group_by=["user_id", "day_epoch"],
+        merge={
+            "ts_start": ("min", "ts"),
+            "ts_end": ("max", "ts"),
+            "value_sum": ("sum", "value"),
+            "first_type": ("first", "event_id"),
+        },
+        order_by=F.col("event_id"),
+        count_field="events",
+    )
+    return out.select(
+        "user_id",
+        "day_epoch",
+        F.unix_timestamp("ts_start").cast("bigint").alias("ts_start_epoch"),
+        F.unix_timestamp("ts_end").cast("bigint").alias("ts_end_epoch"),
+        F.round("value_sum", 2).alias("value_sum"),
+        F.col("first_type").cast("bigint").alias("first_event_id"),
+        F.col("events").cast("bigint").alias("events"),
+    )
+
+
+SQL_OP_REDUCE_DAILY = """
+SELECT user_id,
+       CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_epoch,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS ts_start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS ts_end_epoch,
+       round(sum(value), 2) AS value_sum,
+       CAST(min(event_id) AS BIGINT) AS first_event_id,
+       CAST(count(*) AS BIGINT) AS events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_op_agg_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators.aggregate import tumbling_agg
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        ts_col="ts",
+        interval="1 hour",
+        keys=["event_type"],
+        aggs={
+            "events": F.count(F.lit(1)).cast("bigint"),
+            "value_sum": F.round(F.sum("value"), 2),
+        },
+    )
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("hour_epoch"),
+        "event_type",
+        "events",
+        "value_sum",
+    )
+
+
+SQL_OP_AGG_HOURLY = """
+SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hour_epoch, event_type,
+       CAST(count(*) AS BIGINT) AS events, round(sum(value), 2) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_op_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    out = throttle(
+        ev,
+        threshold=3,
+        window_secs=3600,
+        key=F.col("user_id"),
+        order_by=[F.col("ts"), F.col("event_id")],
+    )
+    return out.select("event_id")
+
+
+SQL_OP_THROTTLE = """
+SELECT event_id FROM (
+  SELECT event_id, row_number() OVER (
+    PARTITION BY CAST(floor(epoch(ts)/3600) AS BIGINT), user_id
+    ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
+def q_op_route_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    routed = route(
+        ev,
+        {
+            "high_value": F.col("value") > 150,
+            "errors": F.col("event_type") == "error",
+            "signups": F.col("event_type") == "signup",
+        },
+    )
+    outs = [
+        rdf.select(F.lit(name).alias("route"), "event_id") for name, rdf in routed.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+SQL_OP_ROUTE_EVENTS = """
+SELECT 'high_value' AS route, event_id FROM events WHERE value > 150
+UNION ALL
+SELECT 'errors' AS route, event_id FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'signups' AS route, event_id FROM events WHERE event_type = 'signup'
+UNION ALL
+SELECT '_unmatched' AS route, event_id FROM events
+WHERE NOT coalesce(value > 150, FALSE)
+  AND event_type <> 'error' AND event_type <> 'signup'
+"""
+
+
+def q_op_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    )
+    kept = tag_cardinality_limit(
+        ev, tag_col="k", limit=10, order_by=F.col("event_id"), action="drop_event"
+    )
+    return kept.groupBy("k").agg(F.min("event_id").cast("bigint").alias("first_id"))
+
+
+SQL_OP_CARDINALITY = """
+SELECT k, first_id FROM (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(min(event_id) AS BIGINT) AS first_id
+  FROM events GROUP BY 1)
+ORDER BY first_id LIMIT 10
+"""
+
+
+def q_op_line_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    out = line_agg(
+        ev,
+        stream_cols=["user_id"],
+        order_by=[F.col("event_id")],
+        line_col="event_type",
+        is_boundary=F.col("event_type") == "signup",
+        sep=" ",
+        out_col="message",
+    )
+    return out.select(
+        "user_id",
+        F.col("segment").cast("bigint").alias("segment"),
+        "message",
+        F.col("line_count").cast("bigint").alias("line_count"),
+    )
+
+
+SQL_OP_LINE_AGG = """
+WITH x AS (
+  SELECT user_id, event_id, event_type,
+    sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY event_id) AS seg
+  FROM events)
+SELECT user_id, CAST(seg AS BIGINT) AS segment,
+       string_agg(event_type, ' ' ORDER BY event_id) AS message,
+       CAST(count(*) AS BIGINT) AS line_count
+FROM x GROUP BY 1, 2
+"""
+
+
+def q_op_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _tbl(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    out = enrich_lookup(ev, dim, on=["event_type"], how="left", check_unique=True)
+    return out.select("event_id", "event_type", "category")
+
+
+SQL_OP_ENRICH_DIM = """
+SELECT event_id, e.event_type, d.category
+FROM events e LEFT JOIN (VALUES ('click','engagement'),('view','engagement'),
+     ('purchase','revenue'),('signup','growth'),('error','ops'))
+     AS d(event_type, category) ON e.event_type = d.event_type
+"""
+
+
+def q_op_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.operators.log_to_metric import MetricSpec, log_to_metric
+
+    ev = _tbl(spark, sf_dir, "events")
+    metrics = log_to_metric(
+        ev,
+        [
+            MetricSpec(
+                mtype="counter",
+                name="events_total",
+                tags={"event_type": F.col("event_type")},
+            )
+        ],
+    )
+    return (
+        metrics.groupBy(
+            "name",
+            F.col("tags")["event_type"].alias("event_type"),
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("bigint").alias("day_epoch"),
+        )
+        .agg(F.sum("value").cast("bigint").alias("value"))
+    )
+
+
+SQL_OP_LOG_TO_METRIC = """
+SELECT 'events_total' AS name, event_type,
+       CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_epoch,
+       CAST(count(*) AS BIGINT) AS value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# analytics breadth (TPC-H-ish over lineitem/orders/customer)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+def q_dp_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return exact_dedup_keys(docs, "doc_id", "text").select(
+        "fingerprint", F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("n_dups").cast("bigint").alias("n_dups")
+    )
+
+
+SQL_DP_EXACT_DEDUP = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dp_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("tokens"))
+
+
+SQL_DP_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS tokens
+FROM documents
+"""
+
+
+def q_dp_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    qs = quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        qs["n_chars"].alias("n_chars"),
+        qs["n_words"].alias("n_words"),
+        qs["punct"].alias("punct"),
+        qs["stop_hits"].alias("stop_hits"),
+        F.floor(100 * qs["n_chars"] / F.greatest(qs["n_words"], F.lit(1)))
+        .cast("bigint")
+        .alias("mwl_x100"),
+    )
+
+
+SQL_DP_QUALITY = r"""
+WITH x AS (
+  SELECT doc_id, trim(text) AS t,
+         regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(length(t) - length(regexp_replace(t, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct,
+       CAST(len(list_filter(ws, w -> lower(w) IN ('the','a','of','and','to'))) AS BIGINT) AS stop_hits,
+       CAST(floor(100 * length(t) / greatest(len(ws), 1)) AS BIGINT) AS mwl_x100
+FROM x
+"""
+
+
+def q_dp_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_guess(F.col("text")).alias("lang_pred"))
+
+
+SQL_DP_LANG_GUESS = r"""
+WITH x AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+h AS (
+  SELECT doc_id,
+    CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS BIGINT) AS en,
+    CAST(len(list_filter(ws, w -> w IN ('el','la','de','y','que'))) AS BIGINT) AS es,
+    CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS de
+  FROM x)
+SELECT doc_id,
+  CASE WHEN en > es AND en > de THEN 'en'
+       WHEN es > en AND es > de THEN 'es'
+       WHEN de > en AND de > es THEN 'de'
+       ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+
+_MH_N = 4
+
+
+def q_dp_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", n_hashes=_MH_N, n=3)
+
+
+def _mh_sql_cols() -> str:
+    return ",\n       ".join(
+        f"min((h * {MH_A[i]} + {MH_B[i]}) % {MH_P}) AS mh{i}" for i in range(_MH_N)
+    )
+
+
+_SHINGLES_CTE = r"""
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+s AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+sh AS (
+  SELECT id, shingle,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM s)
+"""
+
+SQL_DP_MINHASH_SIG = (
+    "WITH " + _SHINGLES_CTE + f"\nSELECT id, {_mh_sql_cols()} FROM sh GROUP BY id"
+)
+
+
+def q_dp_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+_JACCARD_SQL_BODY = """
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM s GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS i
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
+"""
+
+SQL_DP_JACCARD_PAIRS = (
+    "WITH "
+    + _SHINGLES_CTE
+    + ","
+    + _JACCARD_SQL_BODY
+    + "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2"
+)
+
+
+def q_dp_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, n_hashes=_MH_N, rows_per_band=2, threshold=0.2
+    )
+
+
+SQL_DP_MINHASH_LSH_PAIRS = (
+    "WITH "
+    + _SHINGLES_CTE
+    + f""",
+sig AS (SELECT id, {_mh_sql_cols()} FROM sh GROUP BY id),
+buckets AS (
+  SELECT id, 0 AS band, md5(concat_ws('_', CAST(mh0 AS VARCHAR), CAST(mh1 AS VARCHAR))) AS bucket FROM sig
+  UNION ALL
+  SELECT id, 1 AS band, md5(concat_ws('_', CAST(mh2 AS VARCHAR), CAST(mh3 AS VARCHAR))) AS bucket FROM sig),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+"""
+    + _JACCARD_SQL_BODY
+    + """
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.2"""
+)
+
+
+def q_dp_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "sim",
+    )
+
+
+SQL_DP_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+scored AS (
+  SELECT qid, vec_id,
+         round(list_dot_product(qv, vv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))), 6) AS sim
+  FROM v CROSS JOIN q WHERE vec_id <> qid),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank, sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_dp_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(emb, threshold=0.4)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "sim",
+    )
+
+
+SQL_DP_COSINE_NEAR_DUP = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+scored AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+         round(list_dot_product(a.vv, b.vv) /
+               (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))), 6) AS sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4
+"""
+
+
+def q_dp_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ann_bucketed_topk(emb, queries, k=5)
+    return out.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "sim",
+    )
+
+
+_BUCKET_SQL = "concat_ws('_', " + ", ".join(
+    f"CAST(floor(embedding[{i + 1}]::DOUBLE * 5.0) AS BIGINT)" for i in range(4)
+) + ")"
+
+SQL_DP_ANN_BUCKETED = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {_BUCKET_SQL} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, {_BUCKET_SQL} AS bucket
+      FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT qid, vec_id,
+         round(list_dot_product(qv, vv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))), 6) AS sim
+  FROM v JOIN q USING (bucket) WHERE vec_id <> qid),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank, sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only entries (no SQL-expressible oracle; driver records weaker check)
+# --------------------------------------------------------------------------
+
+
+def q_dp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = _tbl(spark, sf_dir, "documents")
+    return simhash64(docs, "doc_id", "text")
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.datapipe.multimodal import extract_features, synth_media_df
+
+    _prep(spark)
+    media = synth_media_df(spark, n=200)
+    return extract_features(media)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    # flagship pipeline
+    "pipe_parse_typed": q_pipe_parse_typed,
+    "pipe_dropped": q_pipe_dropped,
+    "pipe_enrich_tools": q_pipe_enrich_tools,
+    "pipe_route_errors": _route_keys("errors"),
+    "pipe_route_tool_calls": _route_keys("tool_calls"),
+    "pipe_route_slow": _route_keys("slow"),
+    "pipe_route_unmatched": _route_keys("_unmatched"),
+    "pipe_agg_errors": q_pipe_agg_errors,
+    "pipe_agg_all": q_pipe_agg_all,
+    # operators over events
+    "op_filter": q_op_filter,
+    "op_remap_json": q_op_remap_json,
+    "op_sample_keyed": q_op_sample_keyed,
+    "op_dedupe": q_op_dedupe,
+    "op_reduce_daily": q_op_reduce_daily,
+    "op_agg_hourly": q_op_agg_hourly,
+    "op_throttle": q_op_throttle,
+    "op_route_events": q_op_route_events,
+    "op_cardinality": q_op_cardinality,
+    "op_line_agg": q_op_line_agg,
+    "op_enrich_dim": q_op_enrich_dim,
+    "op_log_to_metric": q_op_log_to_metric,
+    # analytics breadth
+    "tpch_q1": q_tpch_q1,
+    "orders_by_segment": q_orders_by_segment,
+    # training-data pipeline
+    "dp_exact_dedup": q_dp_exact_dedup,
+    "dp_token_count": q_dp_token_count,
+    "dp_quality": q_dp_quality,
+    "dp_lang_guess": q_dp_lang_guess,
+    "dp_minhash_sig": q_dp_minhash_sig,
+    "dp_jaccard_pairs": q_dp_jaccard_pairs,
+    "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
+    "dp_cosine_topk": q_dp_cosine_topk,
+    "dp_cosine_near_dup": q_dp_cosine_near_dup,
+    "dp_ann_bucketed": q_dp_ann_bucketed,
+    # rows-only
+    "dp_simhash": q_dp_simhash,
+    "mm_features": q_mm_features,
+}
+
+ORACLES = {
+    "pipe_parse_typed": SQL_PIPE_PARSE_TYPED,
+    "pipe_dropped": SQL_PIPE_DROPPED,
+    "pipe_enrich_tools": SQL_PIPE_ENRICH_TOOLS,
+    "pipe_route_errors": _route_keys_sql("is_errors"),
+    "pipe_route_tool_calls": _route_keys_sql("is_tool_calls"),
+    "pipe_route_slow": _route_keys_sql("is_slow"),
+    "pipe_route_unmatched": _route_keys_sql("NOT (is_errors OR is_tool_calls OR is_slow)"),
+    "pipe_agg_errors": _agg_sql("WHERE is_errors"),
+    "pipe_agg_all": _agg_sql(""),
+    "op_filter": SQL_OP_FILTER,
+    "op_remap_json": SQL_OP_REMAP_JSON,
+    "op_sample_keyed": SQL_OP_SAMPLE_KEYED,
+    "op_dedupe": SQL_OP_DEDUPE,
+    "op_reduce_daily": SQL_OP_REDUCE_DAILY,
+    "op_agg_hourly": SQL_OP_AGG_HOURLY,
+    "op_throttle": SQL_OP_THROTTLE,
+    "op_route_events": SQL_OP_ROUTE_EVENTS,
+    "op_cardinality": SQL_OP_CARDINALITY,
+    "op_line_agg": SQL_OP_LINE_AGG,
+    "op_enrich_dim": SQL_OP_ENRICH_DIM,
+    "op_log_to_metric": SQL_OP_LOG_TO_METRIC,
+    "tpch_q1": SQL_TPCH_Q1,
+    "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "dp_exact_dedup": SQL_DP_EXACT_DEDUP,
+    "dp_token_count": SQL_DP_TOKEN_COUNT,
+    "dp_quality": SQL_DP_QUALITY,
+    "dp_lang_guess": SQL_DP_LANG_GUESS,
+    "dp_minhash_sig": SQL_DP_MINHASH_SIG,
+    "dp_jaccard_pairs": SQL_DP_JACCARD_PAIRS,
+    "dp_minhash_lsh_pairs": SQL_DP_MINHASH_LSH_PAIRS,
+    "dp_cosine_topk": SQL_DP_COSINE_TOPK,
+    "dp_cosine_near_dup": SQL_DP_COSINE_NEAR_DUP,
+    "dp_ann_bucketed": SQL_DP_ANN_BUCKETED,
+}
