@@ -1,0 +1,87 @@
+"""Spec-compiler + unit-test-harness tests (the `vector test`
+analogue: inject at a component, extract ports, assert conditions —
+cf. tests/behavior/transforms/route.toml in the reference)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.plans.pipeline import Pipeline, run_unit_test
+
+
+@pytest.fixture()
+def events_df(spark):
+    rows = [
+        (1, "a", "error", 200.0),
+        (2, "a", "click", 10.0),
+        (3, "b", "error", 50.0),
+        (4, "b", "signup", 80.0),
+        (5, "a", "click", 300.0),
+    ]
+    return spark.createDataFrame(rows, "event_id long, user string, event_type string, value double")
+
+
+SPEC = {
+    "sources": {"in": {"type": "injected"}},
+    "transforms": {
+        "flag": {
+            "type": "remap",
+            "inputs": ["in"],
+            "exprs": {"is_big": "value > 100"},
+        },
+        "router": {
+            "type": "route",
+            "inputs": ["flag"],
+            "conditions": {"errors": "event_type = 'error'", "big": "is_big"},
+        },
+        "errors_only": {"type": "filter", "inputs": ["router.errors"], "condition": "value > 100"},
+    },
+}
+
+
+def test_compile_and_ports(spark, events_df):
+    ports = Pipeline(SPEC, spark).compile(inputs={"in": events_df})
+    assert set(ports) >= {"in", "flag", "flag.dropped", "router.errors", "router.big", "router._unmatched", "errors_only"}
+    assert ports["router.errors"].count() == 2
+    assert ports["router.big"].count() == 2
+    # copy-to-all-matches: event 1 is in both errors and big
+    both = set(r.event_id for r in ports["router.errors"].select("event_id").collect()) & set(
+        r.event_id for r in ports["router.big"].select("event_id").collect()
+    )
+    assert both == {1}
+    assert ports["router._unmatched"].count() == 2  # events 2, 4
+    assert ports["errors_only"].count() == 1
+
+
+def test_unit_test_harness_injection(spark, events_df):
+    # inject a synthetic frame directly at the router (insert_at)
+    synthetic = events_df.withColumn("is_big", F.lit(True))
+    out = run_unit_test(
+        SPEC,
+        inputs={"in": events_df, "flag": synthetic},
+        extract=["router.big"],
+        spark=spark,
+    )
+    assert out["router.big"].count() == 5  # all big now
+
+
+def test_cycle_rejected(spark, events_df):
+    bad = {
+        "sources": {"in": {"type": "injected"}},
+        "transforms": {
+            "a": {"type": "filter", "inputs": ["b"], "condition": "true"},
+            "b": {"type": "filter", "inputs": ["a"], "condition": "true"},
+        },
+    }
+    with pytest.raises(ValueError, match="cycle or unknown"):
+        Pipeline(bad, spark).compile(inputs={"in": events_df})
+
+
+def test_multi_input_union(spark, events_df):
+    spec = {
+        "sources": {"x": {"type": "injected"}, "y": {"type": "injected"}},
+        "transforms": {
+            "all": {"type": "filter", "inputs": ["x", "y"], "condition": "true"},
+        },
+    }
+    ports = Pipeline(spec, spark).compile(inputs={"x": events_df, "y": events_df})
+    assert ports["all"].count() == 10

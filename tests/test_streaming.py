@@ -1,0 +1,85 @@
+"""Streaming operators: each streaming form must agree with its batch
+counterpart on the same bounded input (run with availableNow triggers
+over a parquet dir; results compared to the batch operator)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.sources.synth import TRANSCRIPT_SCHEMA, gen_transcripts_pdf
+from vector_spark.streaming.stream_ops import (
+    stream_aggregate,
+    stream_dedupe,
+    stream_session_reduce,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    pdf = gen_transcripts_pdf(np.arange(30))
+    spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def run_stream(spark, sdf, tmp_path, mode="append"):
+    out = tmp_path / "sink"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(f"t_{abs(hash(str(tmp_path))) % 10**8}")
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(q.name)
+
+
+def test_stream_aggregate_matches_batch(spark, stream_source, tmp_path):
+    sdf = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source)
+    agg = stream_aggregate(
+        sdf, "10 minutes", ["role"], {"events": F.count(F.lit(1))}
+    )
+    # complete mode: final state of every window == the batch result
+    # (append mode would rightly withhold windows not yet past the
+    # watermark at end-of-stream)
+    got = run_stream(spark, agg, tmp_path, mode="complete").toPandas()
+    batch = (
+        spark.read.parquet(stream_source)
+        .groupBy(F.window("ts", "10 minutes"), "role")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(F.col("window.start").alias("window_start"), "role", "events")
+        .toPandas()
+    )
+    key = ["window_start", "role"]
+    for f in (got, batch):
+        f["window_start"] = f["window_start"].astype("datetime64[us]")
+        f["events"] = f["events"].astype("int64")
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        batch.sort_values(key).reset_index(drop=True)[list(got.columns)]
+    )
+
+
+def test_stream_dedupe(spark, stream_source, tmp_path):
+    sdf = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source)
+    # dedupe on (role, tool): keeps one event per distinct projection
+    out = run_stream(spark, stream_dedupe(sdf, ["role", "tool"]), tmp_path)
+    batch_distinct = spark.read.parquet(stream_source).select("role", "tool").distinct().count()
+    assert out.count() == batch_distinct
+
+
+def test_stream_session_reduce(spark, stream_source, tmp_path):
+    sdf = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source)
+    out = run_stream(
+        spark,
+        stream_session_reduce(sdf, ["conv_id"], gap="30 seconds"),
+        tmp_path,
+        mode="complete",
+    )
+    # turns are 7s apart within a conversation -> one session per conv
+    # (all turns within gap), flushed because availableNow exhausts input
+    got = out.toPandas()
+    n_convs = spark.read.parquet(stream_source).select("conv_id").distinct().count()
+    assert len(got) == n_convs
+    assert (got["events"] > 0).all()

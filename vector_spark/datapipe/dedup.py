@@ -166,9 +166,31 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # exact-Jaccard verification restricted to the candidate pairs —
+    # this is the point of LSH: the O(n^2) shingle join never happens,
+    # intersection counts are computed only where a band collided.
     sh = shingles(df, id_col, text_col, n=n)
-    verified = _jaccard_pairs_from_shingles(sh, threshold)
-    return cand.join(verified, ["id_a", "id_b"])
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
+    b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1,0 +1,92 @@
+"""Checkpoint-based resumability with per-partition lineage.
+
+Vector guarantees at-least-once by acknowledging events end-to-end
+and committing source checkpoints/offsets only after sink delivery
+(lib/vector-common/src/finalization.rs:173-311; kafka commit-on-ack
+src/sources/kafka.rs:96-98; file checkpointer
+lib/file-source/src/checkpointer.rs:33-43).
+
+Batch Spark analogue: the unit of progress is an INPUT PARTITION
+(e.g. a ts-day or a bucket of conv_ids). A manifest table records,
+per partition: status, row counts in/out, duration, and a content
+fingerprint — written ATOMICALLY (tmp + rename) only AFTER the
+partition's sink write succeeded (ack-then-checkpoint). A restarted
+job lists the manifest and skips completed partitions; a partition
+that crashed mid-write re-runs and its sink write must be idempotent
+(overwrite-by-partition / Iceberg snapshot semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+class CheckpointManager:
+    """File-backed manifest of completed partitions (one JSON file per
+    partition — atomic rename, no read-modify-write races across
+    drivers working disjoint partitions)."""
+
+    def __init__(self, manifest_dir: str):
+        self.dir = manifest_dir
+        os.makedirs(manifest_dir, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        safe = key.replace("/", "_").replace("=", "-")
+        return os.path.join(self.dir, f"{safe}.json")
+
+    def is_done(self, key: str) -> bool:
+        return os.path.exists(self._path(key))
+
+    def commit(self, key: str, lineage: dict) -> None:
+        path = self._path(key)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"partition": key, "committed_at": time.time(), **lineage}, f)
+        os.replace(tmp, path)
+
+    def completed(self) -> dict[str, dict]:
+        out = {}
+        for fn in os.listdir(self.dir):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.dir, fn)) as f:
+                    rec = json.load(f)
+                out[rec["partition"]] = rec
+        return out
+
+
+def run_resumable(
+    partitions: list[str],
+    load: Callable[[str], DataFrame],
+    process: Callable[[DataFrame], DataFrame],
+    write: Callable[[str, DataFrame], int],
+    ckpt: CheckpointManager,
+) -> dict[str, dict]:
+    """Process each input partition independently, skipping completed
+    ones, committing lineage after each successful write.
+
+    write(key, df) must be idempotent per partition (overwrite that
+    partition's output location) and returns rows written.
+    Returns {partition: lineage} for the partitions run this session.
+    """
+    ran: dict[str, dict] = {}
+    for key in partitions:
+        if ckpt.is_done(key):
+            continue
+        t0 = time.time()
+        df = load(key)
+        rows_in = df.count()
+        out = process(df)
+        rows_out = write(key, out)
+        lineage = {
+            "rows_in": rows_in,
+            "rows_out": rows_out,
+            "seconds": round(time.time() - t0, 3),
+        }
+        ckpt.commit(key, lineage)  # ack-then-checkpoint ordering
+        ran[key] = lineage
+    return ran

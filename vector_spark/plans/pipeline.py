@@ -1,0 +1,221 @@
+"""Declarative pipeline spec -> DataFrame DAG compiler.
+
+The reference's unit of deployment is a TOML/YAML config naming
+sources -> transforms (each with `inputs`) -> sinks, with named output
+ports and fan-in/fan-out wiring (src/config/, compile at
+src/config/compiler.rs:25-60, graph checks src/config/graph.rs:188-263).
+This module is the Spark analogue: a Python dict spec compiles to a
+dict of DataFrames, one per component output port.
+
+- component ref: "name" (default port) or "name.port" (named port,
+  e.g. a route's routes or remap's "dropped")
+- multiple inputs union by name (Vector: multiple inputs into one
+  component concatenate streams)
+- cycles and unknown inputs are rejected at compile time (the
+  graph-typecheck analogue — schema mismatches surface as Spark
+  analysis errors at composition)
+
+Also provides the `vector test` analogue (src/config/unit_test/):
+build the DAG with synthetic frames injected at any component and
+extract any port for assertions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_spark.operators.aggregate import tumbling_agg
+from vector_spark.operators.cardinality import tag_cardinality_limit
+from vector_spark.operators.dedupe import dedupe
+from vector_spark.operators.enrich import enrich_lookup
+from vector_spark.operators.filter import filter_events
+from vector_spark.operators.line_agg import line_agg
+from vector_spark.operators.reduce import reduce_groups, reduce_sessions
+from vector_spark.operators.remap import remap
+from vector_spark.operators.route import route
+from vector_spark.operators.sample import sample
+from vector_spark.operators.throttle import throttle
+
+
+def _cond(c) -> Column:
+    """Conditions may be Columns or SQL strings (the VRL/datadog-search
+    predicate surface lowers to either)."""
+    return F.expr(c) if isinstance(c, str) else c
+
+
+def _exprs(d: Mapping) -> dict[str, Column]:
+    return {k: (F.expr(v) if isinstance(v, str) else v) for k, v in d.items()}
+
+
+class Pipeline:
+    """Compile once, run by reading ports."""
+
+    def __init__(self, spec: Mapping, spark: SparkSession | None = None):
+        self.spec = spec
+        self.spark = spark
+
+    def compile(
+        self, inputs: Mapping[str, DataFrame] | None = None
+    ) -> dict[str, DataFrame]:
+        """Returns {port_ref: DataFrame}. `inputs` injects frames at
+        source names (and, for testing, may override any component —
+        the insert_at mechanism of the reference's unit tests)."""
+        inputs = dict(inputs or {})
+        ports: dict[str, DataFrame] = {}
+
+        for name, src in self.spec.get("sources", {}).items():
+            if name in inputs:
+                ports[name] = inputs[name]
+            elif src.get("type") == "parquet":
+                ports[name] = self.spark.read.parquet(src["path"])
+            elif src.get("type") == "table":
+                ports[name] = self.spark.table(src["table"])
+            else:
+                raise ValueError(f"source {name}: unknown type or missing injection")
+
+        transforms = self.spec.get("transforms", {})
+        remaining = dict(transforms)
+        # fixpoint resolve-and-apply: a transform runs once all its
+        # input PORTS exist (named ports like "router.errors" only
+        # appear after their producer applies); no progress -> cycle
+        # or unknown input (graph.rs:213 analogue)
+        while remaining:
+            progressed = False
+            for name, t in list(remaining.items()):
+                if name in inputs:  # insert_at override
+                    ports[name] = inputs[name]
+                    del remaining[name]
+                    progressed = True
+                    continue
+                deps = t.get("inputs", [])
+                if all(d in ports for d in deps):
+                    df = ports[deps[0]]
+                    for extra in deps[1:]:
+                        df = df.unionByName(ports[extra])
+                    self._apply(name, t, df, ports)
+                    del remaining[name]
+                    progressed = True
+            if not progressed:
+                raise ValueError(
+                    f"cycle or unknown input among transforms: {sorted(remaining)}"
+                )
+        return ports
+
+    def _apply(self, name: str, t: Mapping, df: DataFrame, ports: dict) -> None:
+        kind = t["type"]
+        if kind == "filter":
+            ports[name] = filter_events(df, _cond(t["condition"]))
+        elif kind == "remap":
+            ok, dropped = remap(
+                df,
+                _exprs(t.get("exprs", {})),
+                error_when=_cond(t["error_when"]) if "error_when" in t else None,
+                error_message=t.get("error_message"),
+                drop_on_error=t.get("drop_on_error", True),
+                reroute_dropped=t.get("reroute_dropped", True),
+                component_id=name,
+            )
+            ports[name] = ok
+            ports[f"{name}.dropped"] = dropped
+        elif kind == "route":
+            conds = {k: _cond(v) for k, v in t["conditions"].items()}
+            for port, rdf in route(df, conds, cache=t.get("cache", True)).items():
+                ports[f"{name}.{port}"] = rdf
+        elif kind == "sample":
+            ports[name] = sample(
+                df,
+                rate=t["rate"],
+                key=_cond(t["key"]) if "key" in t else None,
+                order_by=[_cond(c) for c in t.get("order_by", [])] or None,
+                exclude=_cond(t["exclude"]) if "exclude" in t else None,
+            )
+        elif kind == "dedupe":
+            ports[name] = dedupe(
+                df,
+                match=t.get("match"),
+                ignore=t.get("ignore"),
+                order_by=[_cond(c) for c in t.get("order_by", [])] or None,
+            )
+        elif kind == "reduce":
+            merge = {k: tuple(v) for k, v in t["merge"].items()}
+            if "ends_when" in t or "starts_when" in t:
+                ports[name] = reduce_sessions(
+                    df,
+                    group_by=t["group_by"],
+                    order_by=[_cond(c) for c in t["order_by"]],
+                    merge=merge,
+                    ends_when=_cond(t["ends_when"]) if "ends_when" in t else None,
+                    starts_when=_cond(t["starts_when"]) if "starts_when" in t else None,
+                    session_field=t.get("session_field"),
+                )
+            else:
+                ports[name] = reduce_groups(
+                    df,
+                    group_by=t["group_by"],
+                    merge=merge,
+                    order_by=_cond(t["order_by"]),
+                )
+        elif kind == "aggregate":
+            ports[name] = tumbling_agg(
+                df,
+                ts_col=t.get("ts_col", "ts"),
+                interval=t["interval"],
+                keys=t.get("keys", []),
+                aggs=_exprs(t["aggs"]),
+            )
+        elif kind == "throttle":
+            ports[name] = throttle(
+                df,
+                threshold=t["threshold"],
+                window_secs=t["window_secs"],
+                key=_cond(t["key"]) if "key" in t else None,
+                ts_col=t.get("ts_col", "ts"),
+                order_by=[_cond(c) for c in t.get("order_by", [])] or None,
+                exclude=_cond(t["exclude"]) if "exclude" in t else None,
+            )
+        elif kind == "enrich":
+            ports[name] = enrich_lookup(
+                df,
+                dim=t["dim"],
+                on=t["on"],
+                how=t.get("how", "left"),
+                case_insensitive=t.get("case_insensitive", False),
+            )
+        elif kind == "line_agg":
+            ports[name] = line_agg(
+                df,
+                stream_cols=t["stream_cols"],
+                order_by=[_cond(c) for c in t["order_by"]],
+                line_col=t["line_col"],
+                is_boundary=_cond(t["is_boundary"]),
+                sep=t.get("sep", "\n"),
+                out_col=t.get("out_col", "message"),
+            )
+        elif kind == "cardinality_limit":
+            ports[name] = tag_cardinality_limit(
+                df,
+                tag_col=t["tag_col"],
+                limit=t.get("limit", 500),
+                order_by=_cond(t["order_by"]),
+                action=t.get("action", "drop_tag"),
+            )
+        else:
+            raise ValueError(f"transform {name}: unknown type {kind!r}")
+
+
+def run_unit_test(
+    spec: Mapping,
+    inputs: Mapping[str, DataFrame],
+    extract: list[str],
+    spark: SparkSession | None = None,
+) -> dict[str, DataFrame]:
+    """The `vector test` analogue: inject frames at named components,
+    return the extracted ports for assertions."""
+    ports = Pipeline(spec, spark).compile(inputs=inputs)
+    missing = [p for p in extract if p not in ports]
+    if missing:
+        raise ValueError(f"extract_from unknown ports: {missing}")
+    return {p: ports[p] for p in extract}

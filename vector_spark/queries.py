@@ -70,9 +70,16 @@ def _prep(spark: SparkSession) -> None:
 def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transcripts table for a scale dir — materialized
     deterministically as a single parquet file so the DuckDB oracle
-    reads the same bytes."""
+    reads the same bytes.
+
+    The single file gives Spark only 1-3 scan splits, so fan out
+    immediately: repartition BY conv_id — this both restores
+    parallelism and satisfies the stable-order window's required
+    distribution (no second shuffle). A production Iceberg table
+    (days(ts), bucket(conv_id)) provides this layout natively."""
     path = ensure_transcripts_file(sf_dir)
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    return df.repartition(spark.sparkContext.defaultParallelism, "conv_id")
 
 
 # --------------------------------------------------------------------------

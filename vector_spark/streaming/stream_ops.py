@@ -1,0 +1,140 @@
+"""Structured Streaming forms of the stateful operators.
+
+The batch operators in vector_spark.operators replay Vector's
+stateful semantics deterministically over bounded data; these are the
+unbounded-stream equivalents, using Spark's own state store +
+watermarks (Vector analogues noted per function):
+
+  dedupe's LRU cache            -> dropDuplicatesWithinWatermark
+  reduce's expire_after_ms      -> session_window(gap) + watermark
+  aggregate's flush interval_ms -> tumbling window + watermark
+  throttle's GCRA token bucket  -> applyInPandasWithState
+
+All functions accept a streaming DataFrame (spark.readStream...) and
+return a transformed streaming DataFrame; run them with
+.writeStream.trigger(availableNow=True) in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_dedupe(
+    df: DataFrame, match: list[str], ts_col: str = "ts", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Drop duplicate events by field projection within the watermark
+    horizon — the bounded-state counterpart of dedupe's 5000-entry LRU
+    (src/transforms/dedupe.rs:86-90): both bound memory; the LRU
+    bounds by entry count, this bounds by event time."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(match)
+
+
+def stream_session_reduce(
+    df: DataFrame,
+    group_by: list[str],
+    gap: str = "30 seconds",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """reduce's stale-group flush (expire_after_ms default 30s,
+    src/transforms/reduce/mod.rs:96-98) == session_window with the
+    same gap: a group flushes when no event arrives within `gap`."""
+    aggs = aggs or {"events": F.count(F.lit(1))}
+    named = [c.alias(n) for n, c in aggs.items()]
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *group_by)
+        .agg(*named)
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *group_by,
+            *[F.col(n) for n in aggs],
+        )
+    )
+
+
+def stream_aggregate(
+    df: DataFrame,
+    interval: str,
+    keys: list[str],
+    aggs: dict[str, Column],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """aggregate's flush interval (src/transforms/aggregate.rs:32-34)
+    == tumbling event-time window; late data beyond the watermark is
+    discarded (Vector simply merges whatever arrives in the cycle —
+    the watermark makes the cutoff explicit and deterministic)."""
+    named = [c.alias(n) for n, c in aggs.items()]
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), interval), *keys)
+        .agg(*named)
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            *[F.col(n) for n in aggs],
+        )
+    )
+
+
+def stream_throttle_state(
+    df: DataFrame,
+    threshold: int,
+    window_secs: int,
+    key_col: str,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact per-key token bucket via applyInPandasWithState — the
+    stateful-stream rendering of throttle's GCRA
+    (src/transforms/throttle.rs:115-192). State per key: current
+    window start + count; events over `threshold` within a window are
+    dropped."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    out_schema = df.schema
+    state_schema = T.StructType(
+        [
+            T.StructField("win", T.LongType()),
+            T.StructField("count", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            win, count = state.get
+        else:
+            win, count = -1, 0
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            for r in pdf.itertuples(index=False):
+                ts = getattr(r, ts_col)
+                w = int(ts.timestamp()) // window_secs
+                if w != win:
+                    win, count = w, 0
+                if count < threshold:
+                    count += 1
+                    rows.append(r)
+        state.update((win, count))
+        if rows:
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
