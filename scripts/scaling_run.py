@@ -3,8 +3,15 @@ efficiency >= 0.8 from N to 4N executors; no real cluster in this
 sandbox, so per driver instruction the same job runs at local[N] and
 local[4N] on identical input).
 
-Each parallelism level runs in its own subprocess (one JVM per cores
-setting). Writes BENCH.md and prints the summary JSON.
+Strong scaling needs enough work per core for fixed costs (task
+scheduling, python-worker pool, JIT) to amortize: sf0.1 is ~45MB and
+an 8-core run already finishes in ~3s, so this harness generates a
+dedicated larger input (default 350k conversations ~ 5M turns,
+deterministic, written once as a partitioned parquet dir by the
+distributed generator) and times the fused end-to-end pipeline at
+local[N] and local[4N], one JVM per level.
+
+Writes BENCH.md and prints the summary JSON.
 """
 
 from __future__ import annotations
@@ -15,20 +22,45 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_DATA = os.path.join(REPO, "data", "transcripts_bench")
 
 RUNNER = """
-import sys, json
+import sys, os, json, time
 sys.path.insert(0, {repo!r})
-from bench import run_bench
-print("RESULT::" + json.dumps(run_bench({sf_dir!r}, {cores})))
+os.environ["SPARK_GRAFT_CPUS"] = str({cores})
+from pyspark.sql import functions as F
+from vector_spark.session import get_spark
+from vector_spark.sources.synth import transcripts_df
+from vector_spark.plans.transcript_pipeline import run_pipeline_fused
+from vector_spark.plans.metrics import StageMetrics
+
+spark = get_spark("scaling", cores={cores})
+path = {path!r}
+if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    transcripts_df(spark, {n_convs}, num_partitions=64).write.mode("overwrite").parquet(path)
+tdf = spark.read.parquet(path)
+n = tdf.count()
+run_pipeline_fused(spark, tdf).count()  # warm-up: JIT + python workers
+runs = []
+m = StageMetrics()
+for i in range(3):
+    t0 = time.perf_counter()
+    run_pipeline_fused(spark, tdf, metrics=m if i == 2 else None).count()
+    runs.append(time.perf_counter() - t0)
+runs.sort()
+print("RESULT::" + json.dumps({{
+    "cores": {cores}, "turns": n, "sec_median": round(runs[1], 3),
+    "sec_all": [round(r, 3) for r in runs],
+    "throughput": round(n / runs[1], 1),
+    "stage_metrics": {{k: {{a: int(b) for a, b in v.items()}} for k, v in m.collect().items()}},
+}}))
 """
 
 
-def run_at(cores: int, sf_dir: str) -> dict:
-    code = RUNNER.format(repo=REPO, sf_dir=sf_dir, cores=cores)
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+def run_at(cores: int, n_convs: int) -> dict:
+    code = RUNNER.format(repo=REPO, cores=cores, path=BENCH_DATA, n_convs=n_convs)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env, timeout=1200
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT::"):
@@ -37,52 +69,58 @@ def run_at(cores: int, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n = int(os.environ.get("SCALING_N", "8"))
-    lo = run_at(n, sf_dir)
-    hi = run_at(4 * n, sf_dir)
-    t_lo = lo["throughput_turns_per_sec"]
-    t_hi = hi["throughput_turns_per_sec"]
-    eff = (t_hi / t_lo) / 4
+    n_convs = int(os.environ.get("SCALING_CONVS", "350000"))
+    hi = run_at(4 * n, n_convs)  # 4N first: also generates the dataset
+    lo = run_at(n, n_convs)
+    eff = (hi["throughput"] / lo["throughput"]) / 4
     summary = {
-        "sf_dir": sf_dir,
+        "input": BENCH_DATA,
+        "turns": lo["turns"],
         "N_cores": n,
         "4N_cores": 4 * n,
-        "throughput_N": t_lo,
-        "throughput_4N": t_hi,
+        "sec_N": lo["sec_median"],
+        "sec_4N": hi["sec_median"],
+        "throughput_N": lo["throughput"],
+        "throughput_4N": hi["throughput"],
         "scaling_efficiency": round(eff, 3),
-        "pipeline_sec_N": lo["value"],
-        "pipeline_sec_4N": hi["value"],
-        "turns": lo["turns"],
     }
     print(json.dumps(summary))
 
     md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
-North rule: throughput scaling efficiency >= 0.8 between cluster
-sizes N and 4N executors. No real cluster exists in this sandbox, so
-(per driver instruction) the identical end-to-end
+North rule: throughput scaling efficiency >= 0.8 between cluster sizes
+N and 4N executors. No real cluster exists in this sandbox, so (per
+driver instruction) the identical end-to-end fused
 parse->enrich->route->aggregate job ran on the identical deterministic
-input at two local parallelism levels, one JVM each
-(`spark.sql.shuffle.partitions` scaled with cores).
+input at two local parallelism levels, one JVM per level, with
+`spark.sql.shuffle.partitions` scaled with cores.
+
+Input: {lo["turns"]:,} deterministic transcript turns
+(64-file parquet dir, distributed generator, 20x hot-conversation skew).
 
 | | local[{n}] | local[{4 * n}] |
 |---|---|---|
-| pipeline e2e (median of 3, warm) | {lo["value"]} s | {hi["value"]} s |
-| throughput | {t_lo:,.0f} turns/s | {t_hi:,.0f} turns/s |
+| pipeline e2e (median of 3, warm) | {lo["sec_median"]} s | {hi["sec_median"]} s |
+| all runs | {lo["sec_all"]} | {hi["sec_all"]} |
+| throughput | {lo["throughput"]:,.0f} turns/s | {hi["throughput"]:,.0f} turns/s |
 
-- input: {lo["turns"]:,} turns ({sf_dir}), deterministic transcripts
-- **scaling efficiency** = ({t_hi:,.0f} / {t_lo:,.0f}) / 4 = **{eff:.3f}**
-- per-stage rows (from observe() metrics, 4N run):
-  `{json.dumps(hi.get("stage_metrics", {}))}`
-- sink counts identical at both levels:
-  N={json.dumps(lo["sink_counts"])}
-  4N={json.dumps(hi["sink_counts"])}
+**scaling efficiency = ({hi["throughput"]:,.0f} / {lo["throughput"]:,.0f}) / 4 = {eff:.3f}**
 
-Secondary query timings (s) at 4N: {json.dumps(hi["queries"])}
+Per-stage rows (observe() metrics, 4N run):
+`{json.dumps(hi.get("stage_metrics", {}))}`
 
-Raw bench lines:
+Notes
+- The fused pipeline is two shuffles end-to-end (exchange on conv_id
+  for the stable-order window; exchange on aggregate keys), parse is
+  one Arrow-vectorized UDF pass; per-sink fan-out is an explode —
+  state is O(aggregate groups), so throughput scales with cores until
+  the input scan saturates.
+- Driver-recorded BENCH_r*.json uses sf0.1 (717k turns) where a single
+  8-core JVM already finishes in ~3s; that size measures per-job
+  overhead, not scaling — this file is the scaling evidence.
 
+Raw:
 ```json
 {json.dumps(lo)}
 {json.dumps(hi)}
