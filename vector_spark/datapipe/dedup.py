@@ -41,6 +41,19 @@ def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the narrow heavy work downstream (shingle explode, hash)
+    uses every core: a small-file scan can arrive as 1-2 partitions
+    (one parquet file -> one task) which would serialize the whole
+    explode stage. At 100TB the scan is naturally thousands of input
+    splits and this is a no-op; we only pay the tiny repartition
+    shuffle when the source has fewer partitions than cores."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def exact_dedup_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per distinct normalized text: (fingerprint, keep_id =
     min id, n_dups). Hash-groupBy: single shuffle on the fingerprint,
@@ -65,7 +78,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -83,12 +97,17 @@ def minhash_signatures(
     same aggregate."""
     if n_hashes > len(MH_A):
         raise ValueError(f"at most {len(MH_A)} hash families configured")
-    sh = shingles(df, id_col, text_col, n=n).withColumn("h", shingle_id(F.col("shingle")))
+    sh = shingles(df, id_col, text_col, n=n)
+    return _signatures_from_shingles(sh, n_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
+    hashed = sh.withColumn("h", shingle_id(F.col("shingle")))
     aggs = [
         F.min(F.pmod(F.col("h") * MH_A[i] + MH_B[i], F.lit(MH_P))).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_band_buckets(
@@ -156,7 +175,14 @@ def minhash_dedup_pairs(
     """The scale path: LSH candidate generation (band-bucket
     self-join — only docs colliding in a band are paired) + exact
     Jaccard verification of candidates only."""
-    sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, n=n)
+    # ONE shared shingle frame feeds signatures, sizes, and the
+    # verification join — persisted so the explode+distinct shuffle
+    # runs once, not three times (MEMORY_AND_DISK: at corpus scale the
+    # shingle set exceeds RAM and spills rather than recomputing).
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_shingles(sh, n_hashes)
     buckets = lsh_band_buckets(sig, n_hashes, rows_per_band)
     l = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     r = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -169,7 +195,6 @@ def minhash_dedup_pairs(
     # exact-Jaccard verification restricted to the candidate pairs —
     # this is the point of LSH: the O(n^2) shingle join never happens,
     # intersection counts are computed only where a band collided.
-    sh = shingles(df, id_col, text_col, n=n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
     b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
