@@ -232,19 +232,28 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def sh(texts):  # pd.Series -> pd.Series (hints omitted: postponed
         # annotation strings aren't resolvable with local imports)
         out = np.zeros(len(texts), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        one = np.uint64(1)
         for i, txt in enumerate(texts):
             if txt is None:
                 continue
             acc = np.zeros(64, dtype=np.int64)
             for tok in str(txt).split():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                bits = (h >> np.arange(64)) & 1
-                acc += np.where(bits == 1, 1, -1)
-            bits = (acc > 0).astype(np.uint64)
+                # uint64 throughout: the top md5 bit is set for half of
+                # all tokens and a python-int >> numpy coercion would
+                # overflow int64
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                )
+                bits = (h >> shifts) & one
+                acc += np.where(bits.astype(bool), 1, -1)
             val = 0
             for b in range(64):
-                val |= int(bits[b]) << b
-            out[i] = np.int64(np.uint64(val).astype(np.int64))
+                if acc[b] > 0:
+                    val |= 1 << b
+            if val >= 1 << 63:  # two's-complement wrap into BIGINT
+                val -= 1 << 64
+            out[i] = val
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))

@@ -28,11 +28,20 @@ def sample(
     if key is not None:
         h = hash_fn(key) if hash_fn is not None else F.xxhash64(key)
         keep = F.pmod(h, F.lit(rate)) == 0
-    else:
-        if not order_by:
-            raise ValueError("counter-mode sampling needs a stable order_by")
-        w = Window.orderBy(*order_by)
-        keep = F.pmod(F.row_number().over(w) - 1, F.lit(rate)) == 0
+        if exclude is not None:
+            keep = keep | F.coalesce(exclude, F.lit(False))
+        return df.filter(keep).withColumn(rate_field, F.lit(rate))
+    if not order_by:
+        raise ValueError("counter-mode sampling needs a stable order_by")
+    # window functions can't live in a WHERE clause: materialize the
+    # counter as a column, filter, drop
+    w = Window.orderBy(*order_by)
+    keep = F.pmod(F.col("__rn") - 1, F.lit(rate)) == 0
     if exclude is not None:
         keep = keep | F.coalesce(exclude, F.lit(False))
-    return df.filter(keep).withColumn(rate_field, F.lit(rate))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(keep)
+        .drop("__rn")
+        .withColumn(rate_field, F.lit(rate))
+    )

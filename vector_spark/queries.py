@@ -862,14 +862,199 @@ FROM ranked WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
-# rows-only entries (no SQL-expressible oracle; driver records weaker check)
+# operator breadth: counter sample, sessionized reduce, range enrich,
+# metric_to_log, document fingerprint
 # --------------------------------------------------------------------------
+
+
+def q_op_sample_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-mode 1-in-N (sample.rs:126-129: modulo a running event
+    counter, no key) under the stable (ts, event_id) total order."""
+    ev = _tbl(spark, sf_dir, "events")
+    out = sample(ev, rate=7, order_by=[F.col("ts"), F.col("event_id")])
+    return out.select(
+        "event_id", F.col("sample_rate").cast("bigint").alias("sample_rate")
+    )
+
+
+SQL_OP_SAMPLE_COUNTER = """
+SELECT event_id, CAST(7 AS BIGINT) AS sample_rate FROM (
+  SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events)
+WHERE (rn - 1) % 7 = 0
+"""
+
+
+def q_op_reduce_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition-driven sessionization (reduce mod.rs:365-399):
+    `ends_when` purchase flushes the session INCLUDING the purchase."""
+    from vector_spark.operators.reduce import reduce_sessions
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = reduce_sessions(
+        ev,
+        group_by=["user_id"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        merge={
+            "ts_start": ("first", "ts"),
+            "ts_end": ("last", "ts"),
+            "value_sum": ("sum", "value"),
+            "last_type": ("last", "event_type"),
+        },
+        ends_when=F.col("event_type") == "purchase",
+        count_field="events",
+        session_field="session",
+    )
+    return out.select(
+        "user_id",
+        F.col("session").cast("bigint").alias("session"),
+        F.unix_timestamp("ts_start").cast("bigint").alias("ts_start_epoch"),
+        F.unix_timestamp("ts_end").cast("bigint").alias("ts_end_epoch"),
+        F.round("value_sum", 2).alias("value_sum"),
+        "last_type",
+        F.col("events").cast("bigint").alias("events"),
+    )
+
+
+SQL_OP_REDUCE_SESSIONS = """
+WITH m AS (
+  SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS mk,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+s AS (
+  SELECT *, CAST(coalesce(sum(mk) OVER (
+      PARTITION BY user_id ORDER BY rn
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS session
+  FROM m)
+SELECT user_id, session,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS ts_start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS ts_end_epoch,
+       round(sum(value), 2) AS value_sum,
+       max_by(event_type, rn) AS last_type,
+       CAST(count(*) AS BIGINT) AS events
+FROM s GROUP BY 1, 2
+"""
+
+
+_CAMPAIGNS = [
+    ("c_newyear", "2024-01-01 00:00:00", "2024-01-10 23:59:59.999999"),
+    ("c_mid", "2024-01-11 00:00:00", "2024-01-20 23:59:59.999999"),
+    ("c_late", "2024-01-21 00:00:00", "2024-01-28 23:59:59.999999"),
+]
+
+
+def q_op_enrich_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BetweenDates enrichment (lib/enrichment/src/lib.rs:24-29):
+    broadcast range join of facts against a small validity-window dim;
+    events after the last window stay NULL (left semantics)."""
+    from vector_spark.operators.enrich import enrich_between
+
+    ev = _tbl(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        _CAMPAIGNS, "campaign string, valid_from string, valid_to string"
+    ).select(
+        "campaign",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+    )
+    out = enrich_between(ev, dim, ts_col="ts", how="left")
+    return out.select("event_id", "campaign")
+
+
+SQL_OP_ENRICH_BETWEEN = (
+    "WITH dim(campaign, valid_from, valid_to) AS (VALUES "
+    + ", ".join(
+        f"('{n}', TIMESTAMP '{a}', TIMESTAMP '{b}')" for n, a, b in _CAMPAIGNS
+    )
+    + """)
+SELECT e.event_id, d.campaign
+FROM events e LEFT JOIN dim d ON e.ts >= d.valid_from AND e.ts <= d.valid_to
+"""
+)
+
+
+def q_op_metric_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log_to_metric -> metric_to_log round trip
+    (metric_to_log.rs:26-80): derived counter serialized back to a
+    structured JSON log line. Integer-valued doubles only — both
+    engines render them identically in JSON."""
+    from vector_spark.operators.log_to_metric import MetricSpec, log_to_metric, metric_to_log
+
+    ev = _tbl(spark, sf_dir, "events")
+    metrics = log_to_metric(
+        ev,
+        [
+            MetricSpec(
+                mtype="counter",
+                name="events_total",
+                tags={"event_type": F.col("event_type")},
+                value=F.floor(F.col("value")).cast("double"),
+            )
+        ],
+    )
+    out = metric_to_log(metrics)
+    return out.select("message", F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"))
+
+
+SQL_OP_METRIC_TO_LOG = """
+SELECT concat('{"name":"events_total","namespace":"vector","tags":{"event_type":"',
+              event_type,
+              '"},"kind":"incremental","mtype":"counter","value":',
+              CAST(floor(value) AS VARCHAR), '}') AS message,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM events
+"""
+
+
+def q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint (md5 over normalized text) —
+    the groupBy key of exact dedup exposed per-document."""
+    from vector_spark.datapipe.textstats import fingerprint
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+SQL_DP_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
 
 
 def q_dp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     docs = _tbl(spark, sf_dir, "documents")
     return simhash64(docs, "doc_id", "text")
+
+
+# Full bit-level replication of the Arrow-UDF simhash in SQL: per-token
+# 64-bit md5-prefix hash, per-bit +-1 majority vote, bits packed
+# little-endian, two's-complement wrap into BIGINT. Empty/whitespace
+# docs vote on nothing -> signature 0 (the LEFT JOIN + coalesce).
+SQL_DP_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0),
+th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, unnest(range(64)) AS t(b) GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id, sum(CASE WHEN acc > 0
+                          THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
+                          ELSE CAST(0 AS UBIGINT) END)::HUGEINT AS u
+  FROM bits GROUP BY 1)
+SELECT d.doc_id AS id,
+       CAST(CASE WHEN coalesce(u, 0) >= 9223372036854775808
+                 THEN coalesce(u, 0) - 18446744073709551616
+                 ELSE coalesce(u, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only entries (no SQL-expressible oracle; driver records weaker check)
+# --------------------------------------------------------------------------
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,8 +1107,14 @@ QUERIES = {
     "dp_cosine_topk": q_dp_cosine_topk,
     "dp_cosine_near_dup": q_dp_cosine_near_dup,
     "dp_ann_bucketed": q_dp_ann_bucketed,
-    # rows-only
+    # operator breadth
+    "op_sample_counter": q_op_sample_counter,
+    "op_reduce_sessions": q_op_reduce_sessions,
+    "op_enrich_between": q_op_enrich_between,
+    "op_metric_to_log": q_op_metric_to_log,
+    "dp_fingerprint": q_dp_fingerprint,
     "dp_simhash": q_dp_simhash,
+    # rows-only
     "mm_features": q_mm_features,
 }
 
@@ -961,4 +1152,10 @@ ORACLES = {
     "dp_cosine_topk": SQL_DP_COSINE_TOPK,
     "dp_cosine_near_dup": SQL_DP_COSINE_NEAR_DUP,
     "dp_ann_bucketed": SQL_DP_ANN_BUCKETED,
+    "op_sample_counter": SQL_OP_SAMPLE_COUNTER,
+    "op_reduce_sessions": SQL_OP_REDUCE_SESSIONS,
+    "op_enrich_between": SQL_OP_ENRICH_BETWEEN,
+    "op_metric_to_log": SQL_OP_METRIC_TO_LOG,
+    "dp_fingerprint": SQL_DP_FINGERPRINT,
+    "dp_simhash": SQL_DP_SIMHASH,
 }
