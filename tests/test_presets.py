@@ -1,0 +1,79 @@
+"""Golden tests for the log-format parse presets
+(parse_apache_log / parse_common_log / parse_syslog / parse_logfmt),
+mirroring the per-function golden tests of the reference stdlib
+(test_function! macros in lib/vrl/stdlib/src/parse_apache_log.rs,
+parse_syslog.rs, parse_logfmt.rs)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from vector_spark.functions.presets import (
+    parse_apache_log,
+    parse_common_log,
+    parse_logfmt,
+    parse_syslog,
+)
+
+
+def _one(spark, line, expr):
+    df = spark.createDataFrame([(line,)], "line string")
+    return df.select(expr(F.col("line")).alias("p")).select("p.*").collect()[0]
+
+
+def test_apache_common_log(spark):
+    row = _one(
+        spark,
+        '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326',
+        parse_apache_log,
+    )
+    assert row.client == "127.0.0.1"
+    assert row.ident is None  # '-' normalized
+    assert row.auth == "frank"
+    assert row.ts == datetime.datetime(2000, 10, 10, 20, 55, 36)  # UTC
+    assert row.method == "GET"
+    assert row.path == "/apache_pb.gif"
+    assert row.httpversion == "1.0"
+    assert row.status == 200
+    assert row.bytes == 2326
+
+
+def test_apache_no_match_is_null_struct(spark):
+    row = _one(spark, "not an apache line", parse_apache_log)
+    assert all(v is None for v in row.asDict().values())
+
+
+def test_common_log_alias(spark):
+    assert parse_common_log is parse_apache_log
+
+
+def test_syslog_3164(spark):
+    row = _one(
+        spark,
+        "<34>Oct 11 22:14:15 mymachine su: 'su root' failed for lonvick",
+        parse_syslog,
+    )
+    assert row.pri == 34
+    assert row.facility == 4  # auth
+    assert row.severity == 2  # critical
+    assert row.tstxt == "Oct 11 22:14:15"
+    assert row.host == "mymachine"
+    assert row.appname == "su"
+    assert row.message == "'su root' failed for lonvick"
+
+
+def test_syslog_space_padded_day(spark):
+    row = _one(spark, "<13>Jan  5 01:02:03 h1 app: m", parse_syslog)
+    assert row.host == "h1" and row.tstxt == "Jan  5 01:02:03"
+
+
+def test_logfmt(spark):
+    row = (
+        spark.createDataFrame([("at=info method=GET path=/ status=200 bare",)], "l string")
+        .select(parse_logfmt(F.col("l")).alias("m"))
+        .collect()[0]
+    )
+    assert row.m == {"at": "info", "method": "GET", "path": "/", "status": "200"}

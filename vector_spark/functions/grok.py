@@ -41,6 +41,8 @@ GROK_PATTERNS: dict[str, str] = {
     "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
     "LOGLEVEL": r"(?:DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|TRACE|debug|info|warn(?:ing)?|error|fatal|trace)",
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "SYSLOGTIMESTAMP": r"\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}",
 }
 
 _CAPTURE = re.compile(r"%\{(\w+)(?::(\w+))?\}")
@@ -103,7 +105,13 @@ def grok_extract_pandas(col: Column, grok_pattern: str, anchored: bool = True) -
         out = s.str.extract(compiled)  # vectorized C path in pandas
         return out.where(pd.notna(out), None)
 
-    return pandas_udf(extract, schema)(col)
+    # asNondeterministic is a pure optimizer fence: the UDF IS
+    # deterministic, but without it Catalyst's project-collapse inlines
+    # the call into any filter that references a derived column and the
+    # plan evaluates the SAME grok UDF in two ArrowEvalPython nodes
+    # (once for the parse_ok filter, once for the projection) — seen
+    # via .explain("formatted") on the fused pipeline.
+    return pandas_udf(extract, schema).asNondeterministic()(col)
 
 
 def grok_extract_native(col: Column, grok_pattern: str, anchored: bool = True) -> Column:

@@ -1,0 +1,77 @@
+"""Log-format parse presets — the VRL parse_* preset family
+(parse_apache_log.rs / parse_common_log.rs / parse_syslog.rs /
+parse_nginx_log.rs in lib/vrl/stdlib/src/) re-expressed as grok
+bundles compiled to JVM-side regex structs (grok_extract_native:
+whole-stage-codegen regexp_extract, no Python in the path).
+
+Each preset returns one struct column of TYPED fields; non-matching
+lines yield a struct of NULLs (callers route those to the dropped
+channel, remap.rs:426-441 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vector_spark.functions.grok import grok_extract_native
+from vector_spark.functions.parse import parse_key_value
+
+APACHE_COMMON_GROK = (
+    '%{IP:client} %{NOTSPACE:ident} %{NOTSPACE:auth} '
+    '[%{HTTPDATE:tstxt}] "%{WORD:method} %{NOTSPACE:path} '
+    'HTTP/%{NUMBER:httpversion}" %{INT:status} %{INT:bytes}'
+)
+
+SYSLOG_3164_GROK = (
+    "<%{POSINT:pri}>%{SYSLOGTIMESTAMP:tstxt} %{NOTSPACE:host} "
+    "%{NOTSPACE:appname}: %{GREEDYDATA:message}"
+)
+
+
+def parse_apache_log(col: Column) -> Column:
+    """Apache/nginx Common Log Format line -> struct(client, ident,
+    auth, ts:timestamp, method, path, httpversion, status:int,
+    bytes:long). (parse_apache_log.rs 'common' format.)"""
+    g = grok_extract_native(col, APACHE_COMMON_GROK)
+    return F.struct(
+        g["client"].alias("client"),
+        F.nullif(g["ident"], F.lit("-")).alias("ident"),
+        F.nullif(g["auth"], F.lit("-")).alias("auth"),
+        F.to_timestamp(g["tstxt"], "dd/MMM/yyyy:HH:mm:ss Z").alias("ts"),
+        g["method"].alias("method"),
+        g["path"].alias("path"),
+        g["httpversion"].alias("httpversion"),
+        g["status"].try_cast("int").alias("status"),
+        g["bytes"].try_cast("bigint").alias("bytes"),
+    )
+
+
+# VRL exposes common-log parsing both standalone and as the apache
+# 'common' format; keep both names.
+parse_common_log = parse_apache_log
+
+
+def parse_syslog(col: Column) -> Column:
+    """RFC3164-ish syslog line '<pri>MMM dd HH:mm:ss host app: msg' ->
+    struct(pri:int, facility:int, severity:int, tstxt, host, appname,
+    message). Timestamp is left textual: RFC3164 stamps carry no year
+    or zone — resolving them is a policy decision for the caller.
+    (parse_syslog.rs; severity/facility split per RFC5424 PRI.)"""
+    g = grok_extract_native(col, SYSLOG_3164_GROK)
+    pri = g["pri"].try_cast("int")
+    return F.struct(
+        pri.alias("pri"),
+        F.floor(pri / 8).cast("int").alias("facility"),
+        F.pmod(pri, F.lit(8)).cast("int").alias("severity"),
+        g["tstxt"].alias("tstxt"),
+        g["host"].alias("host"),
+        g["appname"].alias("appname"),
+        g["message"].alias("message"),
+    )
+
+
+def parse_logfmt(col: Column) -> Column:
+    """logfmt line 'a=1 b=two' -> map<string,string>
+    (parse_logfmt.rs; lenient: bare tokens without '=' are dropped)."""
+    return parse_key_value(col, pair_sep=" ", kv_sep="=")

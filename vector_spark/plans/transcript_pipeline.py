@@ -271,7 +271,13 @@ def run_pipeline_fused(
     agg. Two shuffles total, parse runs exactly once, state is O(agg
     groups) not O(events). Pass a StageMetrics to also collect rows
     in/ok/dropped per stage from the same single action (observe() —
-    the component_sent_events_total analogue)."""
+    the component_sent_events_total analogue).
+
+    The aggregate deliberately consumes turn_seq (max_turn_seq per
+    group): without a consumer Catalyst prunes the unused row_number
+    window AND its conv_id exchange, and the benchmarked job would be
+    one shuffle lighter than the plan this function claims to measure
+    (verified via .explain("formatted"))."""
     df = with_stable_order(transcripts) if stable_order else transcripts
     work = enrich_stage(parse_work(df, use_pandas_grok=use_pandas_grok), spark)
     if metrics is not None:
@@ -303,6 +309,11 @@ def run_pipeline_fused(
         .agg(
             F.count(F.lit(1)).alias("events"),
             F.sum(F.coalesce(F.col("dur_ms"), F.lit(0))).alias("dur_ms_sum"),
+            *(
+                [F.max("turn_seq").alias("max_turn_seq")]
+                if stable_order
+                else []
+            ),
         )
         .select(
             "sink",
@@ -311,6 +322,7 @@ def run_pipeline_fused(
             "tool_category",
             "events",
             "dur_ms_sum",
+            *(["max_turn_seq"] if stable_order else []),
         )
     )
 

@@ -1005,6 +1005,64 @@ FROM events
 """
 
 
+def q_op_parse_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_syslog preset round trip: deterministic RFC3164 lines
+    synthesized from events columns, parsed back to typed fields
+    (parse_syslog.rs; PRI split per RFC5424)."""
+    from vector_spark.functions.presets import parse_syslog
+
+    ev = _tbl(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("<"),
+        F.pmod(F.col("event_id"), F.lit(192)).cast("string"),
+        F.lit(">"),
+        F.date_format("ts", "MMM dd HH:mm:ss"),
+        F.lit(" h"),
+        F.col("user_id").cast("string"),
+        F.lit(" "),
+        F.col("event_type"),
+        F.lit(": "),
+        F.col("props"),
+    )
+    s = parse_syslog(line)
+    return ev.select(
+        "event_id",
+        s["pri"].alias("pri"),
+        s["facility"].alias("facility"),
+        s["severity"].alias("severity"),
+        s["tstxt"].alias("tstxt"),
+        s["host"].alias("host"),
+        s["appname"].alias("appname"),
+        s["message"].alias("message"),
+    )
+
+
+_SYSLOG_RE = r"^<(\d+)>(\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}) (\S+) (\S+): (.*)$"
+
+SQL_OP_PARSE_SYSLOG = f"""
+WITH lines AS (
+  SELECT event_id,
+         concat('<', CAST(event_id % 192 AS VARCHAR), '>',
+                strftime(ts, '%b %d %H:%M:%S'),
+                ' h', CAST(user_id AS VARCHAR), ' ', event_type, ': ',
+                props) AS line
+  FROM events),
+p AS (
+  SELECT event_id,
+         CAST(regexp_extract(line, '{_SYSLOG_RE}', 1) AS INTEGER) AS pri,
+         regexp_extract(line, '{_SYSLOG_RE}', 2) AS tstxt,
+         regexp_extract(line, '{_SYSLOG_RE}', 3) AS host,
+         regexp_extract(line, '{_SYSLOG_RE}', 4) AS appname,
+         regexp_extract(line, '{_SYSLOG_RE}', 5) AS message
+  FROM lines)
+SELECT event_id, pri,
+       CAST(floor(pri / 8) AS INTEGER) AS facility,
+       CAST(pri % 8 AS INTEGER) AS severity,
+       tstxt, host, appname, message
+FROM p
+"""
+
+
 def q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint (md5 over normalized text) —
     the groupBy key of exact dedup exposed per-document."""
@@ -1112,6 +1170,7 @@ QUERIES = {
     "op_reduce_sessions": q_op_reduce_sessions,
     "op_enrich_between": q_op_enrich_between,
     "op_metric_to_log": q_op_metric_to_log,
+    "op_parse_syslog": q_op_parse_syslog,
     "dp_fingerprint": q_dp_fingerprint,
     "dp_simhash": q_dp_simhash,
     # rows-only
@@ -1156,6 +1215,7 @@ ORACLES = {
     "op_reduce_sessions": SQL_OP_REDUCE_SESSIONS,
     "op_enrich_between": SQL_OP_ENRICH_BETWEEN,
     "op_metric_to_log": SQL_OP_METRIC_TO_LOG,
+    "op_parse_syslog": SQL_OP_PARSE_SYSLOG,
     "dp_fingerprint": SQL_DP_FINGERPRINT,
     "dp_simhash": SQL_DP_SIMHASH,
 }
