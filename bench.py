@@ -71,9 +71,12 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "op_agg_hourly",
         "op_dedupe",
         "op_reduce_daily",
+        "op_reduce_sessions",
+        "op_parse_syslog",
         "tpch_q1",
         "dp_minhash_sig",
         "dp_minhash_lsh_pairs",
+        "dp_simhash",
         "dp_cosine_topk",
         "dp_exact_dedup",
     ]

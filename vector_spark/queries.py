@@ -1005,6 +1005,32 @@ FROM events
 """
 
 
+def q_op_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase (salted) variant of op_agg_hourly — SAME
+    result, different physical plan: a hot (hour, type) key is split
+    across 8 reducers in phase 1. Shares op_agg_hourly's oracle."""
+    from vector_spark.operators.skew import salted_agg
+
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "hour_epoch", (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+    )
+    out = salted_agg(
+        ev,
+        keys=["hour_epoch", "event_type"],
+        partial={
+            "events": F.count(F.lit(1)),
+            "value_sum": F.sum("value"),
+        },
+        final={
+            "events": lambda c: F.sum(c).cast("bigint"),
+            "value_sum": lambda c: F.round(F.sum(c), 2),
+        },
+        salt_n=8,
+        salt_from=F.col("event_id"),
+    )
+    return out.select("hour_epoch", "event_type", "events", "value_sum")
+
+
 def q_op_parse_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_syslog preset round trip: deterministic RFC3164 lines
     synthesized from events columns, parsed back to typed fields
@@ -1171,6 +1197,7 @@ QUERIES = {
     "op_enrich_between": q_op_enrich_between,
     "op_metric_to_log": q_op_metric_to_log,
     "op_parse_syslog": q_op_parse_syslog,
+    "op_agg_salted": q_op_agg_salted,
     "dp_fingerprint": q_dp_fingerprint,
     "dp_simhash": q_dp_simhash,
     # rows-only
@@ -1216,6 +1243,9 @@ ORACLES = {
     "op_enrich_between": SQL_OP_ENRICH_BETWEEN,
     "op_metric_to_log": SQL_OP_METRIC_TO_LOG,
     "op_parse_syslog": SQL_OP_PARSE_SYSLOG,
+    # same oracle as op_agg_hourly on purpose: the salted plan must
+    # produce byte-identical results to the plain aggregation
+    "op_agg_salted": SQL_OP_AGG_HOURLY,
     "dp_fingerprint": SQL_DP_FINGERPRINT,
     "dp_simhash": SQL_DP_SIMHASH,
 }

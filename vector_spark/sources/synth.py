@@ -79,11 +79,19 @@ def gen_transcripts_pdf(
     base_turns: int = BASE_TURNS,
     hot_every: int = HOT_EVERY,
     hot_mult: int = HOT_MULT,
+    pad: int = 0,
 ) -> pd.DataFrame:
     """All turns for the given conversation ids, as pandas.
 
     Pure function of the conv-id array — used directly for small
     fixtures and inside mapInPandas for distributed generation.
+
+    pad > 0 appends `pad` deterministic filler chars per turn in
+    PARSE-SAFE positions (long URL path segment, extra kv field, free
+    body words, long json msg) — message sizes then approximate real
+    log/transcript payloads (the reference's flagship regression case
+    parses ~1KB HTTP JSON bodies) without changing any extracted
+    field. Fixtures/goldens use pad=0.
     """
     convs = np.asarray(convs, dtype=np.int64)
     counts = _turn_counts(convs, base_turns, hot_every, hot_mult)
@@ -112,8 +120,9 @@ def gen_transcripts_pdf(
         rid = S(((c[m0] * 100 + t[m0]) % 10000).astype(str))
         status = S(STATUSES[((c[m0] + 2 * t[m0]) % 8).astype(np.intp)])
         dur = S(((c[m0] * 131 + t[m0] * 17) % 3000).astype(str))
+        pad0 = "/" + "x" * pad if pad else ""
         text[m0] = (
-            method + " /api/v" + ver + "/resource/" + rid
+            method + " /api/v" + ver + "/resource/" + rid + pad0
             + " status=" + status + " dur_ms=" + dur
         ).to_numpy()
 
@@ -122,8 +131,9 @@ def gen_transcripts_pdf(
         tool2 = S(TOOLS[(mix[m1] % 5).astype(np.intp)])
         ok = S(np.where(mix[m1] % 3 != 0, "true", "false"))
         tokens = S(((c[m1] * 53 + t[m1] * 29) % 5000).astype(str))
+        pad1 = " pad=" + "y" * pad if pad else ""
         text[m1] = (
-            "action=invoke tool=" + tool2 + " ok=" + ok + " tokens=" + tokens
+            "action=invoke tool=" + tool2 + " ok=" + ok + " tokens=" + tokens + pad1
         ).to_numpy()
 
     m2 = tpl == 2
@@ -141,6 +151,8 @@ def gen_transcripts_pdf(
                 "",
             )
         )
+        if pad:
+            body = body + " " + "z" * pad
         text[m2] = (body + err).to_numpy()
 
     m3 = tpl == 3
@@ -148,8 +160,10 @@ def gen_transcripts_pdf(
         lvl = S(LEVELS[(mix[m3] % 4).astype(np.intp)])
         attempt = S((mix[m3] % 9).astype(str))
         step = S((t[m3] % 7).astype(str))
+        pad3 = " " + "w" * pad if pad else ""
         good = (
-            '{"level":"' + lvl + '","msg":"step ' + step + ' done","attempt":' + attempt + "}"
+            '{"level":"' + lvl + '","msg":"step ' + step + " done" + pad3
+            + '","attempt":' + attempt + "}"
         )
         bad = '{"level":"' + lvl + '","msg":"trunc'  # malformed on purpose
         text[m3] = np.where(mix[m3] % 11 == 0, bad.to_numpy(), good.to_numpy())
@@ -177,6 +191,7 @@ def transcripts_df(
     hot_every: int = HOT_EVERY,
     hot_mult: int = HOT_MULT,
     num_partitions: int | None = None,
+    pad: int = 0,
 ) -> DataFrame:
     """Distributed deterministic generation: spark.range over conv ids
     -> mapInPandas(gen_transcripts_pdf). Scales linearly with
@@ -190,7 +205,7 @@ def transcripts_df(
         for pdf in batches:
             if len(pdf):
                 yield gen_transcripts_pdf(
-                    pdf["id"].to_numpy(), base_turns, hot_every, hot_mult
+                    pdf["id"].to_numpy(), base_turns, hot_every, hot_mult, pad
                 )
 
     return rng.mapInPandas(gen, TRANSCRIPT_SCHEMA)
