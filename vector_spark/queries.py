@@ -1089,6 +1089,73 @@ FROM p
 """
 
 
+def q_op_aggregate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-series roll-up semantics (aggregate.rs:69-95): rows of
+    kind 'incremental' ADD within the window, 'absolute' keep the last
+    write (deterministic by event_id)."""
+    from vector_spark.operators.aggregate import aggregate_metrics
+
+    ev = _tbl(spark, sf_dir, "events")
+    m = ev.select(
+        F.col("event_type").alias("name"),
+        F.when(F.col("event_type").isin("view", "click"), "incremental")
+        .otherwise("absolute")
+        .alias("kind"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    out = aggregate_metrics(m, interval="1 hour", series_cols=["name"], order_col="event_id")
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_start_epoch"),
+        "name",
+        "kind",
+        F.round("value", 2).alias("value"),
+        F.col("merged").cast("bigint").alias("merged"),
+    )
+
+
+SQL_OP_AGGREGATE_METRICS = """
+WITH m AS (
+  SELECT event_type AS name,
+         CASE WHEN event_type IN ('view', 'click') THEN 'incremental'
+              ELSE 'absolute' END AS kind,
+         value, event_id,
+         CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start_epoch
+  FROM events)
+SELECT window_start_epoch, name, kind,
+       round(CASE WHEN kind = 'incremental' THEN sum(value)
+                  ELSE max_by(value, event_id) END, 2) AS value,
+       CAST(count(*) AS BIGINT) AS merged
+FROM m GROUP BY 1, 2, 3
+"""
+
+
+def q_op_vrl_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRL string/codec function surface over real rows: truncate,
+    redact, encode_base64 (truncate.rs / redact.rs /
+    encode_base64.rs semantics)."""
+    from vector_spark.functions.vrl_compat import encode_base64, redact, truncate
+
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        truncate(F.col("props"), 20).alias("props_trunc"),
+        redact(F.col("props"), [r"\d+"]).alias("props_redacted"),
+        encode_base64(F.col("event_type")).alias("type_b64"),
+    )
+
+
+SQL_OP_VRL_STRINGS = r"""
+SELECT event_id,
+       CASE WHEN length(props) > 20 THEN substr(props, 1, 20) || '...'
+            ELSE props END AS props_trunc,
+       regexp_replace(props, '\d+', '[REDACTED]', 'g') AS props_redacted,
+       to_base64(encode(event_type)) AS type_b64
+FROM events
+"""
+
+
 def q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint (md5 over normalized text) —
     the groupBy key of exact dedup exposed per-document."""
@@ -1149,6 +1216,55 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+def q_mm_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked form of mm_features: the stub decoder is a pure
+    function of media_id, so the whole mapInPandas decode pass has an
+    exact SQL replication. Features scaled x1000 to BIGINT — every
+    chunk mean is a multiple of 1/8, so the scaling is lossless on
+    both engines (no float-hash traps)."""
+    from vector_spark.datapipe.multimodal import extract_features, synth_media_df
+
+    _prep(spark)
+    feats = extract_features(synth_media_df(spark, n=200))
+    sel = [
+        F.col("media_id"),
+        F.col("kind"),
+        F.col("width"),
+        F.col("height"),
+        F.col("n_bytes"),
+    ]
+    for k in range(8):
+        sel.append(
+            (F.element_at("feature", k + 1).cast("double") * 1000)
+            .cast("bigint")
+            .alias(f"f{k}")
+        )
+    return feats.select(*sel)
+
+
+_MM_FCOLS = ",\n       ".join(
+    f"CASE WHEN i % 3 = 0 THEN f{k} END AS f{k}" for k in range(8)
+)
+_MM_PCOLS = ", ".join(f"max(CASE WHEN k = {k} THEN fv END) AS f{k}" for k in range(8))
+
+SQL_MM_FEATURES_CHECKED = f"""
+WITH ids AS (SELECT unnest(range(200)) AS i),
+b AS (SELECT i, j, (j * (i + 1)) % 256 AS v
+      FROM ids, unnest(range(64)) AS t(j)),
+f AS (SELECT i, j // 8 AS k, CAST(round(avg(v), 3) * 1000 AS BIGINT) AS fv
+      FROM b GROUP BY 1, 2),
+p AS (SELECT i, {_MM_PCOLS} FROM f GROUP BY i)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CASE WHEN i % 3 = 0 THEN CAST(32 + i % 64 AS INTEGER) END AS width,
+       CASE WHEN i % 3 = 0 THEN CAST(32 + i % 48 AS INTEGER) END AS height,
+       CAST(64 AS BIGINT) AS n_bytes,
+       {_MM_FCOLS}
+FROM ids JOIN p USING (i)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1198,8 +1314,11 @@ QUERIES = {
     "op_metric_to_log": q_op_metric_to_log,
     "op_parse_syslog": q_op_parse_syslog,
     "op_agg_salted": q_op_agg_salted,
+    "op_aggregate_metrics": q_op_aggregate_metrics,
+    "op_vrl_strings": q_op_vrl_strings,
     "dp_fingerprint": q_dp_fingerprint,
     "dp_simhash": q_dp_simhash,
+    "mm_features_checked": q_mm_features_checked,
     # rows-only
     "mm_features": q_mm_features,
 }
@@ -1246,6 +1365,9 @@ ORACLES = {
     # same oracle as op_agg_hourly on purpose: the salted plan must
     # produce byte-identical results to the plain aggregation
     "op_agg_salted": SQL_OP_AGG_HOURLY,
+    "op_aggregate_metrics": SQL_OP_AGGREGATE_METRICS,
+    "op_vrl_strings": SQL_OP_VRL_STRINGS,
     "dp_fingerprint": SQL_DP_FINGERPRINT,
     "dp_simhash": SQL_DP_SIMHASH,
+    "mm_features_checked": SQL_MM_FEATURES_CHECKED,
 }
