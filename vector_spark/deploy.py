@@ -24,6 +24,23 @@ _SHIPPED_ATTR = "_vector_spark_shipped"
 def package_zip(path: str | None = None) -> str:
     """Zip the vector_spark package (importable at zip root)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already imported FROM a zip (spark-submit --py-files): that
+        # archive IS the package zip. Walking the phantom dir would
+        # produce — and OVERWRITE the real artifact with — an empty
+        # zip, which is how we found this out.
+        zip_path = pkg_dir
+        while zip_path and not zip_path.lower().endswith(".zip"):
+            parent = os.path.dirname(zip_path)
+            if parent == zip_path:
+                break
+            zip_path = parent
+        if zip_path.lower().endswith(".zip") and os.path.isfile(zip_path):
+            return zip_path
+        raise RuntimeError(
+            f"vector_spark imported from {pkg_dir!r}, which is neither a "
+            "directory nor inside a zip archive"
+        )
     if path is None:
         path = os.path.join(tempfile.gettempdir(), "vector_spark_pkg.zip")
     tmp = path + ".tmp"
@@ -46,5 +63,9 @@ def ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, _SHIPPED_ATTR, False):
         return
-    sc.addPyFile(package_zip())
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if os.path.isdir(pkg_dir):
+        sc.addPyFile(package_zip())
+    # else: we're running from a --py-files zip, which spark-submit has
+    # already distributed to every executor — nothing to ship.
     setattr(sc, _SHIPPED_ATTR, True)
