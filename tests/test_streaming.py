@@ -83,3 +83,26 @@ def test_stream_session_reduce(spark, stream_source, tmp_path):
     n_convs = spark.read.parquet(stream_source).select("conv_id").distinct().count()
     assert len(got) == n_convs
     assert (got["events"] > 0).all()
+
+
+def test_stream_pipeline_matches_batch_fused(spark, stream_source, tmp_path):
+    """The streaming flagship (watermarked windows) must agree with the
+    batch fused pipeline on the same bounded input."""
+    from vector_spark.plans.transcript_pipeline import run_pipeline_fused
+    from vector_spark.streaming.stream_pipeline import stream_pipeline
+
+    sdf = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source)
+    got = run_stream(
+        spark, stream_pipeline(spark, sdf), tmp_path, mode="complete"
+    ).toPandas()
+    batch = run_pipeline_fused(
+        spark, spark.read.parquet(stream_source), stable_order=False
+    ).toPandas()
+    key = ["sink", "window_start", "role_norm", "tool_category"]
+    for f in (got, batch):
+        f["window_start"] = f["window_start"].astype("datetime64[us]")
+        for c in ("events", "dur_ms_sum"):
+            f[c] = f[c].astype("int64")
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)[list(got.columns)]
+    assert got.equals(batch)

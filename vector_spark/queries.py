@@ -1171,6 +1171,58 @@ FROM documents
 """
 
 
+def q_dp_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-cleaning pipeline: exact dedup -> MinHash+LSH
+    near-dup removal (greedy keep-smaller-id per verified pair) ->
+    quality floor -> token stats. One declarative plan end-to-end
+    (datapipe/corpus_pipeline.py)."""
+    from vector_spark.datapipe.corpus_pipeline import clean_corpus
+
+    _prep(spark)
+    docs = _tbl(spark, sf_dir, "documents")
+    return clean_corpus(
+        docs, n_hashes=_MH_N, jaccard_threshold=0.2, min_words=5
+    )
+
+
+SQL_DP_CLEAN_CORPUS = (
+    r"""
+WITH norm AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+ex AS (SELECT fp, min(doc_id) AS keep_id FROM norm GROUP BY 1),
+kept AS (SELECT d.doc_id, d.text FROM documents d JOIN ex ON d.doc_id = ex.keep_id),
+"""
+    + _SHINGLES_CTE.replace("FROM documents", "FROM kept").lstrip()
+    + f""",
+sig AS (SELECT id, {_mh_sql_cols()} FROM sh GROUP BY id),
+buckets AS (
+  SELECT id, 0 AS band, md5(concat_ws('_', CAST(mh0 AS VARCHAR), CAST(mh1 AS VARCHAR))) AS bucket FROM sig
+  UNION ALL
+  SELECT id, 1 AS band, md5(concat_ws('_', CAST(mh2 AS VARCHAR), CAST(mh3 AS VARCHAR))) AS bucket FROM sig),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+"""
+    + _JACCARD_SQL_BODY
+    + r""",
+drops AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c JOIN j ON j.id_a = c.id_a AND j.id_b = c.id_b
+  WHERE j.jaccard >= 0.2),
+surv AS (
+  SELECT k.doc_id, k.text FROM kept k
+  LEFT JOIN drops USING (doc_id) WHERE drops.doc_id IS NULL)
+SELECT doc_id AS id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS tokens
+FROM surv
+WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5
+"""
+)
+
+
 def q_dp_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     docs = _tbl(spark, sf_dir, "documents")
@@ -1318,6 +1370,7 @@ QUERIES = {
     "op_vrl_strings": q_op_vrl_strings,
     "dp_fingerprint": q_dp_fingerprint,
     "dp_simhash": q_dp_simhash,
+    "dp_clean_corpus": q_dp_clean_corpus,
     "mm_features_checked": q_mm_features_checked,
     # rows-only
     "mm_features": q_mm_features,
@@ -1369,5 +1422,6 @@ ORACLES = {
     "op_vrl_strings": SQL_OP_VRL_STRINGS,
     "dp_fingerprint": SQL_DP_FINGERPRINT,
     "dp_simhash": SQL_DP_SIMHASH,
+    "dp_clean_corpus": SQL_DP_CLEAN_CORPUS,
     "mm_features_checked": SQL_MM_FEATURES_CHECKED,
 }
