@@ -55,16 +55,21 @@ REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ORACLE_TRANSCRIPTS = os.path.join(REPO_DIR, "data", "transcripts_sf0.01.parquet")
 
 
-def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-
-
 def _prep(spark: SparkSession) -> None:
     from vector_spark.deploy import ship_package
     from vector_spark.session import tune_session
 
     tune_session(spark)
     ship_package(spark)
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # every query loads its tables through here (or transcripts()), so
+    # a session we did NOT create — the driver's — always gets the UTC
+    # timezone (unix_timestamp-based oracles depend on it) and the
+    # shipped package (pandas-UDF closures resolve on its workers)
+    _prep(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,6 +82,7 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism and satisfies the stable-order window's required
     distribution (no second shuffle). A production Iceberg table
     (days(ts), bucket(conv_id)) provides this layout natively."""
+    _prep(spark)
     path = ensure_transcripts_file(sf_dir)
     df = spark.read.parquet(path)
     return df.repartition(spark.sparkContext.defaultParallelism, "conv_id")
