@@ -79,6 +79,8 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_simhash",
         "dp_cosine_topk",
         "dp_exact_dedup",
+        "dp_clean_corpus",
+        "op_agg_salted",
     ]
     for name in secondary:
         fn = QUERIES[name]

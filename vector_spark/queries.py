@@ -78,10 +78,13 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the same bytes.
 
     The single file gives Spark only 1-3 scan splits, so fan out
-    immediately: repartition BY conv_id — this both restores
-    parallelism and satisfies the stable-order window's required
-    distribution (no second shuffle). A production Iceberg table
-    (days(ts), bucket(conv_id)) provides this layout natively."""
+    immediately: repartition BY conv_id — restoring parallelism with
+    the same clustering a production Iceberg table (days(ts),
+    bucket(conv_id)) provides natively. Note: when the Arrow grok UDF
+    sits between this exchange and the stable-order window, the window
+    re-exchanges anyway — ArrowEvalPython does not propagate its
+    child's output partitioning (verified via .explain) — but that
+    second exchange carries compact post-parse columns, not text."""
     _prep(spark)
     path = ensure_transcripts_file(sf_dir)
     df = spark.read.parquet(path)
