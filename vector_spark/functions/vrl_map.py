@@ -1,0 +1,212 @@
+"""Complete VRL stdlib -> Spark mapping registry.
+
+One entry per function file in the reference's stdlib
+(lib/vrl/stdlib/src/<name>.rs, registry lib/vrl/stdlib/src/lib.rs:611+),
+so "can I do X here?" has a single greppable answer. Each entry:
+
+  kind:  'native'   — direct pyspark.sql.functions expression (fn given)
+         'compose'  — built from this repo's helpers (fn given)
+         'udf'      — Arrow-vectorized pandas UDF in this repo (fn given)
+         'path'     — VRL event-path CRUD; in a fixed-schema DataFrame
+                      world this is a DataFrame/Column operation, noted
+         'driver'   — resolved driver-side at plan build (literal)
+         'scope'    — deliberately out of scope, with the reason
+  spark: the concrete Spark expression / API to use
+
+Functions with fn callables are directly usable:
+`VRL[name].fn(col, ...)` returns a Column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import functions as F
+
+from vector_spark.functions import vrl_compat as V
+from vector_spark.functions.parse import parse_json_col, parse_key_value, parse_regex
+from vector_spark.functions.presets import (
+    parse_apache_log,
+    parse_common_log,
+    parse_logfmt,
+    parse_syslog,
+)
+
+
+@dataclass(frozen=True)
+class VrlFn:
+    kind: str
+    spark: str
+    fn: Callable | None = None
+
+
+def _grok(col, pattern):
+    from vector_spark.functions.grok import grok_extract_pandas
+
+    return grok_extract_pandas(col, pattern)
+
+
+VRL: dict[str, VrlFn] = {
+    # --- parsing ---------------------------------------------------------
+    "parse_grok": VrlFn("udf", "grok.grok_extract_pandas (compiled regex, Arrow)", _grok),
+    "parse_groks": VrlFn("udf", "first-match over grok_extract_pandas structs (coalesce)", None),
+    "parse_regex": VrlFn("compose", "parse.parse_regex -> struct", parse_regex),
+    "parse_regex_all": VrlFn("native", "F.regexp_extract_all", lambda c, r, i=1: F.regexp_extract_all(c, r, i)),
+    "parse_json": VrlFn("native", "F.from_json / get_json_object", parse_json_col),
+    "parse_csv": VrlFn("native", "F.from_csv", lambda c, s: F.from_csv(c, s)),
+    "parse_key_value": VrlFn("compose", "parse.parse_key_value -> map", parse_key_value),
+    "parse_logfmt": VrlFn("compose", "presets.parse_logfmt", parse_logfmt),
+    "parse_timestamp": VrlFn("native", "F.to_timestamp(fmt)", lambda c, f: F.to_timestamp(c, f)),
+    "parse_duration": VrlFn("compose", "vrl_compat.parse_duration", V.parse_duration),
+    "parse_int": VrlFn("compose", "vrl_compat.parse_int (F.conv)", V.parse_int),
+    "parse_url": VrlFn("compose", "vrl_compat.parse_url (F.parse_url)", V.parse_url),
+    "parse_query_string": VrlFn("native", "F.parse_url(col, 'QUERY') + str_to_map", None),
+    "parse_apache_log": VrlFn("compose", "presets.parse_apache_log (typed CLF struct)", parse_apache_log),
+    "parse_common_log": VrlFn("compose", "presets.parse_common_log", parse_common_log),
+    "parse_nginx_log": VrlFn("compose", "presets.parse_apache_log (same CLF family; add grok preset per format)", None),
+    "parse_syslog": VrlFn("compose", "presets.parse_syslog (RFC3164 struct)", parse_syslog),
+    "parse_tokens": VrlFn("native", "F.split on token boundaries", lambda c: F.split(F.trim(c), r"\s+")),
+    "parse_glog": VrlFn("compose", "grok preset (regex bundle) — add pattern on demand", None),
+    "parse_klog": VrlFn("compose", "grok preset (regex bundle) — add pattern on demand", None),
+    "parse_cef": VrlFn("compose", "grok/kv preset — add pattern on demand", None),
+    "parse_linux_authorization": VrlFn("compose", "parse_syslog variant", None),
+    "parse_aws_alb_log": VrlFn("compose", "grok preset (regex bundle) — add pattern on demand", None),
+    "parse_aws_cloudwatch_log_subscription_message": VrlFn("native", "F.from_json with the subscription schema", None),
+    "parse_aws_vpc_flow_log": VrlFn("native", "F.split + typed select (space-delimited fields)", None),
+    "parse_ruby_hash": VrlFn("scope", "ruby-literal parser; transcripts never carry it", None),
+    "parse_xml": VrlFn("scope", "needs an XML lib; gate behind import-try at need", None),
+    "parse_user_agent": VrlFn("scope", "UA database lookup; env-dependent", None),
+    # --- string ----------------------------------------------------------
+    "downcase": VrlFn("native", "F.lower", F.lower),
+    "upcase": VrlFn("native", "F.upper", F.upper),
+    "contains": VrlFn("native", "F.contains / instr>0", lambda c, s: F.instr(c, s) > 0),
+    "starts_with": VrlFn("native", "F.startswith", lambda c, s: c.startswith(s)),
+    "ends_with": VrlFn("native", "F.endswith", lambda c, s: c.endswith(s)),
+    "split": VrlFn("native", "F.split", F.split),
+    "join": VrlFn("native", "F.array_join / concat_ws", lambda c, sep: F.array_join(c, sep)),
+    "replace": VrlFn("native", "F.regexp_replace", F.regexp_replace),
+    "slice": VrlFn("native", "F.substring / F.slice", None),
+    "strlen": VrlFn("native", "F.length", F.length),
+    "length": VrlFn("native", "F.length (string) / F.size (array/map)", None),
+    "strip_whitespace": VrlFn("native", "F.trim", F.trim),
+    "strip_ansi_escape_codes": VrlFn("compose", "vrl_compat.strip_ansi_escape_codes", V.strip_ansi_escape_codes),
+    "truncate": VrlFn("compose", "vrl_compat.truncate", V.truncate),
+    "find": VrlFn("native", "F.instr / F.regexp_instr", None),
+    "match": VrlFn("native", "Column.rlike", lambda c, r: c.rlike(r)),
+    "match_any": VrlFn("native", "OR of rlikes", None),
+    "match_array": VrlFn("native", "F.exists(arr, x -> x.rlike(r))", None),
+    "match_datadog_query": VrlFn("scope", "Datadog search DSL out of scope (COVERAGE.md §2.2); predicates are Columns", None),
+    "redact": VrlFn("compose", "vrl_compat.redact", V.redact),
+    "chunks": VrlFn("udf", "pandas UDF (or sequence+substring transform)", None),
+    "reverse_dns": VrlFn("scope", "network lookup; env-dependent", None),
+    # --- codecs / crypto -------------------------------------------------
+    "encode_base64": VrlFn("compose", "vrl_compat.encode_base64", V.encode_base64),
+    "decode_base64": VrlFn("compose", "vrl_compat.decode_base64", V.decode_base64),
+    "encode_json": VrlFn("native", "F.to_json(struct)", None),
+    "encode_key_value": VrlFn("compose", "codecs.encode_kv_map / encode_logfmt", None),
+    "encode_logfmt": VrlFn("compose", "codecs.encode_logfmt", None),
+    "encode_percent": VrlFn("compose", "vrl_compat.encode_percent (F.url_encode)", V.encode_percent),
+    "decode_percent": VrlFn("compose", "vrl_compat.decode_percent (F.url_decode)", V.decode_percent),
+    "decode_mime_q": VrlFn("scope", "MIME encoded-word decode; UDF at need", None),
+    "md5": VrlFn("native", "F.md5", F.md5),
+    "sha1": VrlFn("native", "F.sha1", F.sha1),
+    "sha2": VrlFn("native", "F.sha2", F.sha2),
+    "sha3": VrlFn("scope", "no JVM builtin; UDF at need", None),
+    "encrypt": VrlFn("native", "F.aes_encrypt (Spark 3.3+)", None),
+    "decrypt": VrlFn("native", "F.aes_decrypt", None),
+    "random_bytes": VrlFn("scope", "nondeterministic by design; F.rand-seeded UDF at need", None),
+    # --- numeric ---------------------------------------------------------
+    "ceil": VrlFn("native", "F.ceil", F.ceil),
+    "floor": VrlFn("native", "F.floor", F.floor),
+    "round": VrlFn("native", "F.round", F.round),
+    "mod_func": VrlFn("native", "F.pmod / %", F.pmod),
+    "log": VrlFn("native", "F.log", F.log),
+    "format_int": VrlFn("native", "F.conv(n, 10, base)", None),
+    "format_number": VrlFn("native", "F.format_number", F.format_number),
+    # --- type conversion / introspection ---------------------------------
+    "to_bool": VrlFn("native", "cast('boolean')", lambda c: c.cast("boolean")),
+    "to_float": VrlFn("native", "cast('double')", lambda c: c.cast("double")),
+    "to_int": VrlFn("native", "cast('bigint')", lambda c: c.cast("bigint")),
+    "to_string": VrlFn("native", "cast('string')", lambda c: c.cast("string")),
+    "to_timestamp": VrlFn("native", "F.to_timestamp", F.to_timestamp),
+    "to_unix_timestamp": VrlFn("native", "F.unix_timestamp", F.unix_timestamp),
+    "to_regex": VrlFn("scope", "regex literals live in expressions, not columns", None),
+    "boolean": VrlFn("native", "cast + isnull assert (type assertion)", None),
+    "integer": VrlFn("native", "cast + isnull assert", None),
+    "float": VrlFn("native", "cast + isnull assert", None),
+    "string": VrlFn("native", "cast + isnull assert", None),
+    "array": VrlFn("native", "type assertion; schema-known in DataFrames", None),
+    "object": VrlFn("native", "type assertion; schema-known in DataFrames", None),
+    "timestamp": VrlFn("native", "type assertion; schema-known in DataFrames", None),
+    "is_array": VrlFn("driver", "schema-known constant per column", None),
+    "is_boolean": VrlFn("driver", "schema-known constant per column", None),
+    "is_float": VrlFn("driver", "schema-known constant per column", None),
+    "is_integer": VrlFn("driver", "schema-known constant per column", None),
+    "is_object": VrlFn("driver", "schema-known constant per column", None),
+    "is_regex": VrlFn("driver", "schema-known constant per column", None),
+    "is_string": VrlFn("driver", "schema-known constant per column", None),
+    "is_timestamp": VrlFn("driver", "schema-known constant per column", None),
+    "is_json": VrlFn("native", "F.try_parse_json / from_json(...).isNotNull", None),
+    "is_null": VrlFn("native", "Column.isNull", lambda c: c.isNull()),
+    "is_empty": VrlFn("native", "length(c)==0 / size(c)==0", None),
+    "is_nullish": VrlFn("compose", "vrl_compat.is_nullish", V.is_nullish),
+    "is_ipv4": VrlFn("native", "rlike(ipv4 regex)", None),
+    "is_ipv6": VrlFn("native", "rlike(ipv6 regex)", None),
+    "tag_types_externally": VrlFn("native", "struct-wrap per type (to_json shape)", None),
+    "type_def": VrlFn("driver", "VRL-internal type reflection == DataFrame schema", None),
+    # --- collections / event paths ---------------------------------------
+    "append": VrlFn("native", "F.concat(arr, F.array(x)) / array_append", None),
+    "push": VrlFn("native", "F.array_append", None),
+    "compact": VrlFn("native", "F.array_compact / map_filter", F.array_compact),
+    "flatten": VrlFn("native", "F.flatten", F.flatten),
+    "includes": VrlFn("native", "F.array_contains", F.array_contains),
+    "keys": VrlFn("native", "F.map_keys", F.map_keys),
+    "values": VrlFn("native", "F.map_values", F.map_values),
+    "map_keys": VrlFn("native", "F.transform_keys", None),
+    "map_values": VrlFn("native", "F.transform_values", None),
+    "merge": VrlFn("native", "F.map_concat / struct rebuild", None),
+    "filter": VrlFn("native", "F.filter (higher-order)", None),
+    "for_each": VrlFn("native", "F.transform / F.aggregate (bounded iteration)", None),
+    "map": VrlFn("native", "F.transform", None),
+    "unique": VrlFn("native", "F.array_distinct", F.array_distinct),
+    "unnest": VrlFn("native", "F.explode (1->N rows)", F.explode),
+    "tally": VrlFn("native", "F.aggregate HOF / explode+groupBy", None),
+    "tally_value": VrlFn("native", "F.size(F.filter(arr, x -> x == v))", None),
+    "only_fields": VrlFn("path", "df.select(fields)", None),
+    "remove": VrlFn("path", "df.drop / Column.dropFields", None),
+    "del": VrlFn("path", "df.drop / Column.dropFields", None),
+    "set": VrlFn("path", "df.withColumn / Column.withField", None),
+    "get": VrlFn("path", "F.col('a.b') / Column.getField / element_at", None),
+    "exists": VrlFn("path", "schema check + isNotNull", None),
+    # --- time / env / misc ------------------------------------------------
+    "now": VrlFn("native", "F.current_timestamp", F.current_timestamp),
+    "format_timestamp": VrlFn("native", "F.date_format", F.date_format),
+    "uuid_v4": VrlFn("native", "F.uuid (per-row, nondeterministic)", None),
+    "get_env_var": VrlFn("driver", "F.lit(os.environ[...]) at plan build", None),
+    "get_hostname": VrlFn("driver", "F.lit(socket.gethostname()) at plan build", None),
+    "assert": VrlFn("native", "F.assert_true / F.raise_error (test-only)", None),
+    "assert_eq": VrlFn("native", "F.assert_true(a == b)", None),
+    # --- IP ---------------------------------------------------------------
+    "ip_aton": VrlFn("scope", "IP math; UDF at need", None),
+    "ip_ntoa": VrlFn("scope", "IP math; UDF at need", None),
+    "ip_cidr_contains": VrlFn("scope", "IP math; UDF at need", None),
+    "ip_subnet": VrlFn("scope", "IP math; UDF at need", None),
+    "ip_to_ipv6": VrlFn("scope", "IP math; UDF at need", None),
+    "ipv6_to_ipv4": VrlFn("scope", "IP math; UDF at need", None),
+    "ip_ntop": VrlFn("scope", "IP math; UDF at need", None),
+    "ip_pton": VrlFn("scope", "IP math; UDF at need", None),
+    # --- syslog ----------------------------------------------------------
+    "to_syslog_facility": VrlFn("native", "CASE WHEN map (see presets.parse_syslog facility)", None),
+    "to_syslog_level": VrlFn("compose", "vrl_compat.to_syslog_level", V.to_syslog_level),
+    "to_syslog_severity": VrlFn("compose", "vrl_compat.to_syslog_severity", V.to_syslog_severity),
+}
+
+
+def coverage_summary() -> dict[str, int]:
+    out: dict[str, int] = {}
+    for e in VRL.values():
+        out[e.kind] = out.get(e.kind, 0) + 1
+    out["total"] = len(VRL)
+    out["with_callable"] = sum(1 for e in VRL.values() if e.fn is not None)
+    return out
