@@ -66,7 +66,17 @@ def test_oracle_parity(spark, ddb, name):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     got = qs[name](spark, SF_DIR).toPandas()
-    want = ddb.execute(oracles[name]).df()
+    sql = oracles[name]
+    # transcripts-based oracles embed the absolute path of the
+    # materialized sf0.01 single file (the driver's contract runs
+    # oracles at sf0.01 only); when this suite runs at another sf,
+    # point them at the sf-matched materialization instead
+    from vector_spark.queries import ORACLE_TRANSCRIPTS
+    from vector_spark.sources.synth import ensure_transcripts_file
+
+    if ORACLE_TRANSCRIPTS in sql:
+        sql = sql.replace(ORACLE_TRANSCRIPTS, ensure_transcripts_file(SF_DIR))
+    want = ddb.execute(sql).df()
     got_n, want_n = normalize(to_comparable(got)), normalize(to_comparable(want))
     assert list(got_n.columns) == list(want_n.columns), (
         f"{name}: columns {list(got_n.columns)} != {list(want_n.columns)}"
