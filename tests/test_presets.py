@@ -77,3 +77,27 @@ def test_logfmt(spark):
         .collect()[0]
     )
     assert row.m == {"at": "info", "method": "GET", "path": "/", "status": "200"}
+
+
+def test_grok_pandas_null_and_failed_match_are_null_not_empty(spark):
+    """Regression: pyarrow extract_regex marks failures invalid on the
+    STRUCT while child arrays hold '' placeholders; unmasked, gated
+    (null) inputs and failed matches emitted empty strings instead of
+    NULLs — poisoning isNotNull semantics and forcing downstream
+    try_cast through its per-row error path (4x slowdown)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.grok import grok_extract_pandas
+
+    df = spark.createDataFrame(
+        [("GET /x status=200 dur_ms=5",), (None,), ("not a request",)],
+        "line string",
+    )
+    g = grok_extract_pandas(
+        F.col("line"), "%{WORD:method} %{NOTSPACE:path} status=%{INT:status} dur_ms=%{INT:dur_ms}"
+    )
+    rows = df.select(g.alias("g")).select("g.method", "g.status").collect()
+    assert rows[0].method == "GET" and rows[0].status == "200"
+    for r in rows[1:]:
+        assert r.method is None, f"expected NULL, got {r.method!r}"
+        assert r.status is None, f"expected NULL, got {r.status!r}"

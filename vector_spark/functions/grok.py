@@ -124,7 +124,11 @@ def grok_extract_pandas(col: Column, grok_pattern: str, anchored: bool = True) -
             # python worker would oversubscribe the machine)
             if pa.cpu_count() != 1:
                 pa.set_cpu_count(1)
-            st = pc.extract_regex(pa.Array.from_pandas(s), pattern=regex)
+            # type pinned: an all-null batch would otherwise infer the
+            # arrow `null` type, for which extract_regex has no kernel
+            st = pc.extract_regex(
+                pa.Array.from_pandas(s, type=pa.string()), pattern=regex
+            )
             # CRITICAL: null inputs / failed matches are marked invalid
             # on the STRUCT, but the child arrays carry "" placeholders
             # at those positions and st.field() bypasses the parent
