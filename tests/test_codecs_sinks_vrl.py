@@ -135,3 +135,39 @@ def test_parse_url(spark):
         V.parse_url(F.lit("https://ex.com:8080/p/q?x=1&y=2")).alias("u")
     ).collect()[0].u
     assert u.scheme == "https" and u.path == "/p/q" and u.query == "x=1&y=2"
+
+
+def test_dedupe_lru_replay_readmits_after_eviction(spark):
+    """The property exact dedupe cannot have (dedupe.rs LRU): a key
+    evicted by cache_size newer distinct keys is admitted AGAIN."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators.dedupe import dedupe, dedupe_lru_replay
+
+    # stream: A, B, C, D, A  with cache_size=2 -> by the time A returns
+    # it has been evicted (B,C then C,D in cache) -> A re-admitted
+    rows = [(i, k) for i, k in enumerate(["A", "B", "C", "D", "A", "B"])]
+    df = spark.createDataFrame(rows, "seq int, k string")
+    got = (
+        dedupe_lru_replay(df, match=["k"], order_by=[F.col("seq")], cache_size=2)
+        .orderBy("seq")
+        .collect()
+    )
+    assert [(r.seq, r.k) for r in got] == [(0, "A"), (1, "B"), (2, "C"), (3, "D"), (4, "A"), (5, "B")]
+    # exact dedupe keeps only the first A/B — the documented divergence
+    exact = dedupe(df, match=["k"], order_by=[F.col("seq")]).orderBy("seq").collect()
+    assert [(r.seq, r.k) for r in exact] == [(0, "A"), (1, "B"), (2, "C"), (3, "D")]
+
+
+def test_dedupe_lru_replay_within_capacity_equals_exact(spark):
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators.dedupe import dedupe, dedupe_lru_replay
+
+    rows = [(i, f"k{i % 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "seq int, k string")
+    lru = dedupe_lru_replay(df, match=["k"], order_by=[F.col("seq")], cache_size=5000)
+    exact = dedupe(df, match=["k"], order_by=[F.col("seq")])
+    assert sorted((r.seq, r.k) for r in lru.collect()) == sorted(
+        (r.seq, r.k) for r in exact.collect()
+    )

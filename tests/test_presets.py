@@ -101,3 +101,20 @@ def test_grok_pandas_null_and_failed_match_are_null_not_empty(spark):
     for r in rows[1:]:
         assert r.method is None, f"expected NULL, got {r.method!r}"
         assert r.status is None, f"expected NULL, got {r.status!r}"
+
+
+def test_nginx_combined_log(spark):
+    from vector_spark.functions.presets import parse_nginx_log
+
+    row = _one(
+        spark,
+        '203.0.113.9 - - [10/Oct/2000:13:55:36 -0700] '
+        '"GET /index.html HTTP/1.1" 404 153 '
+        '"http://example.com/start" "Mozilla/5.0 (X11; Linux)"',
+        parse_nginx_log,
+    )
+    assert row.client == "203.0.113.9"
+    assert row.auth is None
+    assert row.status == 404 and row.bytes == 153
+    assert row.referrer == "http://example.com/start"
+    assert row.agent == "Mozilla/5.0 (X11; Linux)"

@@ -52,6 +52,31 @@ def parse_apache_log(col: Column) -> Column:
 parse_common_log = parse_apache_log
 
 
+NGINX_COMBINED_GROK = (
+    APACHE_COMMON_GROK + ' "%{DATA:referrer}" "%{DATA:agent}"'
+)
+
+
+def parse_nginx_log(col: Column) -> Column:
+    """nginx 'combined' access-log line (CLF + quoted referrer and
+    user-agent) -> the apache struct plus referrer/agent; '-' fields
+    normalized to NULL. (parse_nginx_log.rs 'combined' format.)"""
+    g = grok_extract_native(col, NGINX_COMBINED_GROK)
+    return F.struct(
+        g["client"].alias("client"),
+        F.nullif(g["ident"], F.lit("-")).alias("ident"),
+        F.nullif(g["auth"], F.lit("-")).alias("auth"),
+        F.to_timestamp(g["tstxt"], "dd/MMM/yyyy:HH:mm:ss Z").alias("ts"),
+        g["method"].alias("method"),
+        g["path"].alias("path"),
+        g["httpversion"].alias("httpversion"),
+        g["status"].try_cast("int").alias("status"),
+        g["bytes"].try_cast("bigint").alias("bytes"),
+        F.nullif(g["referrer"], F.lit("-")).alias("referrer"),
+        F.nullif(g["agent"], F.lit("-")).alias("agent"),
+    )
+
+
 def parse_syslog(col: Column) -> Column:
     """RFC3164-ish syslog line '<pri>MMM dd HH:mm:ss host app: msg' ->
     struct(pri:int, facility:int, severity:int, tstxt, host, appname,

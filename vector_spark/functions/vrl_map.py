@@ -30,6 +30,7 @@ from vector_spark.functions.presets import (
     parse_apache_log,
     parse_common_log,
     parse_logfmt,
+    parse_nginx_log,
     parse_syslog,
 )
 
@@ -64,7 +65,7 @@ VRL: dict[str, VrlFn] = {
     "parse_query_string": VrlFn("native", "F.parse_url(col, 'QUERY') + str_to_map", None),
     "parse_apache_log": VrlFn("compose", "presets.parse_apache_log (typed CLF struct)", parse_apache_log),
     "parse_common_log": VrlFn("compose", "presets.parse_common_log", parse_common_log),
-    "parse_nginx_log": VrlFn("compose", "presets.parse_apache_log (same CLF family; add grok preset per format)", None),
+    "parse_nginx_log": VrlFn("compose", "presets.parse_nginx_log (combined format struct)", parse_nginx_log),
     "parse_syslog": VrlFn("compose", "presets.parse_syslog (RFC3164 struct)", parse_syslog),
     "parse_tokens": VrlFn("native", "F.split on token boundaries", lambda c: F.split(F.trim(c), r"\s+")),
     "parse_glog": VrlFn("compose", "grok preset (regex bundle) — add pattern on demand", None),

@@ -39,3 +39,50 @@ def dedupe(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def dedupe_lru_replay(
+    df: DataFrame,
+    match: list[str],
+    order_by: list[Column],
+    cache_size: int = 5000,
+) -> DataFrame:
+    """Bit-faithful replay of the reference's LRU semantics
+    (dedupe.rs:86-90,214-222): events stream IN ORDER through one
+    5000-entry LRU keyed by the match projection; an event is dropped
+    iff its key is currently cached, and a key EVICTED by 5000 newer
+    distinct keys is re-admitted on next sight (unlike exact dedupe,
+    which never re-admits).
+
+    The LRU is a single sequential state machine over the GLOBAL event
+    order, so this replay deliberately runs on one partition — it
+    exists for parity testing and small bounded replays, not the 100TB
+    path (use `dedupe` / streaming stream_dedupe there; the divergence
+    is the documented cache-eviction re-admit only)."""
+    from collections import OrderedDict
+
+    import pandas as pd
+
+    out_schema = df.schema
+    ord_struct = F.struct(*[o.alias(f"o{i}") for i, o in enumerate(order_by)])
+    work = df.withColumn("__ord", ord_struct).repartition(1).sortWithinPartitions("__ord")
+    names = [f.name for f in out_schema.fields]
+
+    def replay(batches):
+        lru: OrderedDict = OrderedDict()
+        for pdf in batches:
+            keep = []
+            for row in pdf.itertuples(index=False):
+                key = tuple(getattr(row, c) for c in match)
+                if key in lru:
+                    lru.move_to_end(key)
+                    keep.append(False)
+                else:
+                    lru[key] = True
+                    if len(lru) > cache_size:
+                        lru.popitem(last=False)
+                    keep.append(True)
+            out = pdf[pd.Series(keep, index=pdf.index)]
+            yield out[names]
+
+    return work.mapInPandas(replay, out_schema)
