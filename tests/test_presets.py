@@ -118,3 +118,36 @@ def test_nginx_combined_log(spark):
     assert row.status == 404 and row.bytes == 153
     assert row.referrer == "http://example.com/start"
     assert row.agent == "Mozilla/5.0 (X11; Linux)"
+
+
+def test_glog_and_klog(spark):
+    from vector_spark.functions.presets import parse_glog, parse_klog
+
+    row = _one(
+        spark,
+        "E0210 13:55:36.123456  1234 server.cc:42] handler panicked: oom",
+        parse_glog,
+    )
+    assert row.level == "error"
+    assert (row.month, row.day) == (2, 10)
+    assert row.timetxt == "13:55:36.123456"
+    assert row.thread_id == 1234
+    assert row.file == "server.cc" and row.line == 42
+    assert row.message == "handler panicked: oom"
+    assert parse_klog is parse_glog
+
+
+def test_cef(spark):
+    from vector_spark.functions.presets import parse_cef
+
+    row = _one(
+        spark,
+        "CEF:0|Security|threatmanager|1.0|100|worm stopped|10|src=10.0.0.1 dst=2.1.2.2 spt=1232",
+        parse_cef,
+    )
+    assert row.cef_version == 0
+    assert row.device_vendor == "Security"
+    assert row.signature_id == "100"
+    assert row.name == "worm stopped"
+    assert row.severity == "10"
+    assert row.extension == {"src": "10.0.0.1", "dst": "2.1.2.2", "spt": "1232"}

@@ -100,3 +100,69 @@ def parse_logfmt(col: Column) -> Column:
     """logfmt line 'a=1 b=two' -> map<string,string>
     (parse_logfmt.rs; lenient: bare tokens without '=' are dropped)."""
     return parse_key_value(col, pair_sep=" ", kv_sep="=")
+
+
+# plain numbered groups: this pattern feeds JVM regexp_extract, and
+# Java's regex dialect rejects python's (?P<name>...) syntax
+_GLOG_RE = (
+    r"^([IWEF])(\d{2})(\d{2}) "
+    r"(\d{2}:\d{2}:\d{2}\.\d{6})\s+"
+    r"(\d+) ([^:]+):(\d+)\] (.*)$"
+)
+def parse_glog(col: Column) -> Column:
+    """Google glog line 'I0210 13:55:36.123456  12 file.cc:42] msg' ->
+    struct(level, month:int, day:int, timetxt, thread_id:long, file,
+    line:int, message). kubernetes klog uses the identical layout
+    (parse_glog.rs / parse_klog.rs; year is not on the wire — resolving
+    it is the caller's policy, as in the reference)."""
+    from vector_spark.functions.parse import parse_regex
+
+    groups = {
+        "level": 1, "month": 2, "day": 3, "timetxt": 4,
+        "thread_id": 5, "file": 6, "line": 7, "message": 8,
+    }
+    g = parse_regex(col, _GLOG_RE, groups)
+    level = g["level"]
+    level_name = (
+        F.when(level == "I", "info")
+        .when(level == "W", "warning")
+        .when(level == "E", "error")
+        .when(level == "F", "fatal")
+    )
+    return F.struct(
+        level_name.alias("level"),
+        g["month"].try_cast("int").alias("month"),
+        g["day"].try_cast("int").alias("day"),
+        g["timetxt"].alias("timetxt"),
+        g["thread_id"].try_cast("bigint").alias("thread_id"),
+        g["file"].alias("file"),
+        g["line"].try_cast("int").alias("line"),
+        g["message"].alias("message"),
+    )
+
+
+# klog (kubernetes) is the glog layout
+parse_klog = parse_glog
+
+
+def parse_cef(col: Column) -> Column:
+    """ArcSight CEF header 'CEF:v|vendor|product|version|sig|name|sev|ext'
+    -> struct(cef_version:int, device_vendor, device_product,
+    device_version, signature_id, name, severity, extension:map).
+    Escaped pipes (\\|) inside header fields are out of this split-based
+    scope (parse_cef.rs handles them; the extension kv map is the part
+    pipelines actually route on)."""
+    body = F.regexp_extract(col, r"^CEF:(.*)$", 1)
+    parts = F.split(body, r"\|", 8)
+    ok = F.size(parts) >= 8
+    ext = parse_key_value(F.element_at(parts, 8), pair_sep=" ", kv_sep="=")
+    return F.struct(
+        F.when(ok, F.element_at(parts, 1).try_cast("int")).alias("cef_version"),
+        F.when(ok, F.element_at(parts, 2)).alias("device_vendor"),
+        F.when(ok, F.element_at(parts, 3)).alias("device_product"),
+        F.when(ok, F.element_at(parts, 4)).alias("device_version"),
+        F.when(ok, F.element_at(parts, 5)).alias("signature_id"),
+        F.when(ok, F.element_at(parts, 6)).alias("name"),
+        F.when(ok, F.element_at(parts, 7)).alias("severity"),
+        F.when(ok, ext).alias("extension"),
+    )

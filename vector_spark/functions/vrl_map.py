@@ -28,7 +28,10 @@ from vector_spark.functions import vrl_compat as V
 from vector_spark.functions.parse import parse_json_col, parse_key_value, parse_regex
 from vector_spark.functions.presets import (
     parse_apache_log,
+    parse_cef,
     parse_common_log,
+    parse_glog,
+    parse_klog,
     parse_logfmt,
     parse_nginx_log,
     parse_syslog,
@@ -68,9 +71,9 @@ VRL: dict[str, VrlFn] = {
     "parse_nginx_log": VrlFn("compose", "presets.parse_nginx_log (combined format struct)", parse_nginx_log),
     "parse_syslog": VrlFn("compose", "presets.parse_syslog (RFC3164 struct)", parse_syslog),
     "parse_tokens": VrlFn("native", "F.split on token boundaries", lambda c: F.split(F.trim(c), r"\s+")),
-    "parse_glog": VrlFn("compose", "grok preset (regex bundle) — add pattern on demand", None),
-    "parse_klog": VrlFn("compose", "grok preset (regex bundle) — add pattern on demand", None),
-    "parse_cef": VrlFn("compose", "grok/kv preset — add pattern on demand", None),
+    "parse_glog": VrlFn("compose", "presets.parse_glog (typed struct)", parse_glog),
+    "parse_klog": VrlFn("compose", "presets.parse_klog (= glog layout)", parse_klog),
+    "parse_cef": VrlFn("compose", "presets.parse_cef (header split + extension kv map)", parse_cef),
     "parse_linux_authorization": VrlFn("compose", "parse_syslog variant", None),
     "parse_aws_alb_log": VrlFn("compose", "grok preset (regex bundle) — add pattern on demand", None),
     "parse_aws_cloudwatch_log_subscription_message": VrlFn("native", "F.from_json with the subscription schema", None),
