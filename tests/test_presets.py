@@ -151,3 +151,25 @@ def test_cef(spark):
     assert row.name == "worm stopped"
     assert row.severity == "10"
     assert row.extension == {"src": "10.0.0.1", "dst": "2.1.2.2", "spt": "1232"}
+
+
+def test_vpc_flow_log(spark):
+    from vector_spark.functions.presets import parse_aws_vpc_flow_log
+
+    row = _one(
+        spark,
+        "2 123456789010 eni-1235b8ca 172.31.16.139 172.31.16.21 20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK",
+        parse_aws_vpc_flow_log,
+    )
+    assert row.version == 2
+    assert row.srcaddr == "172.31.16.139"
+    assert row.dstport == 22
+    assert row.bytes == 4249
+    assert row.action == "ACCEPT"
+    # NODATA line with '-' fields
+    row2 = _one(
+        spark,
+        "2 123456789010 eni-1235b8ca - - - - - - - 1431280876 1431280934 - NODATA",
+        parse_aws_vpc_flow_log,
+    )
+    assert row2.srcaddr is None and row2.bytes is None and row2.log_status == "NODATA"

@@ -166,3 +166,32 @@ def parse_cef(col: Column) -> Column:
         F.when(ok, F.element_at(parts, 7)).alias("severity"),
         F.when(ok, ext).alias("extension"),
     )
+
+
+_VPC_FLOW_FIELDS = [
+    ("version", "int"), ("account_id", "string"), ("interface_id", "string"),
+    ("srcaddr", "string"), ("dstaddr", "string"), ("srcport", "int"),
+    ("dstport", "int"), ("protocol", "int"), ("packets", "bigint"),
+    ("bytes", "bigint"), ("start", "bigint"), ("end", "bigint"),
+    ("action", "string"), ("log_status", "string"),
+]
+
+
+def parse_aws_vpc_flow_log(col: Column) -> Column:
+    """AWS VPC flow log v2 default format (14 space-delimited fields)
+    -> typed struct; '-' fields normalized to NULL
+    (parse_aws_vpc_flow_log.rs)."""
+    parts = F.split(F.trim(col), r"\s+")
+    ok = F.size(parts) == len(_VPC_FLOW_FIELDS)
+    out = []
+    for i, (name, typ) in enumerate(_VPC_FLOW_FIELDS, start=1):
+        v = F.nullif(F.element_at(parts, i), F.lit("-"))
+        if typ != "string":
+            v = v.try_cast(typ)
+        out.append(F.when(ok, v).alias(name))
+    return F.struct(*out)
+
+
+# linux authorization logs (auth.log) are RFC3164 syslog lines; the
+# reference's preset is syslog parsing plus auth-specific enrichment
+parse_linux_authorization = parse_syslog
