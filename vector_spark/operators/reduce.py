@@ -14,9 +14,10 @@ then one groupBy((group, session)).agg(...) with the strategy table.
 This is a single shuffle on the group key; the window and the groupBy
 share the same partitioning so Catalyst reuses the exchange.
 
-Merge strategies supported (merge_strategy.rs names):
-  discard/first, retain/last, sum, max, min, array, concat,
-  concat_newline, flat_unique, longest_array/shortest_array (arrays).
+Merge strategies supported (merge_strategy.rs:14-52 — the full enum):
+  discard/first, retain (last NON-null, the reference's coalesce
+  nuance), last (plain), sum, max, min, array, concat, concat_newline,
+  concat_raw, flat_unique, longest_array/shortest_array.
 """
 
 from __future__ import annotations
@@ -32,8 +33,12 @@ def _strategy_agg(strategy: str, col: str, ord_col: str) -> Column:
     c, o = F.col(col), F.col(ord_col)
     if strategy in ("first", "discard"):
         return F.min_by(c, o)
-    if strategy in ("last", "retain"):
+    if strategy == "last":
         return F.max_by(c, o)
+    if strategy == "retain":
+        # merge_strategy.rs Retain: "works as a way to coalesce by not
+        # retaining null" — the LAST NON-NULL value, not the last value
+        return F.max_by(c, F.when(c.isNotNull(), o))
     if strategy == "sum":
         return F.sum(c)
     if strategy == "max":
@@ -46,8 +51,8 @@ def _strategy_agg(strategy: str, col: str, ord_col: str) -> Column:
             F.array_sort(F.collect_list(F.struct(o.alias("o"), c.alias("v")))),
             lambda s: s["v"],
         )
-    if strategy in ("concat", "concat_newline"):
-        sep = " " if strategy == "concat" else "\n"
+    if strategy in ("concat", "concat_newline", "concat_raw"):
+        sep = {"concat": " ", "concat_newline": "\n", "concat_raw": ""}[strategy]
         return F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct(o.alias("o"), c.alias("v")))),
