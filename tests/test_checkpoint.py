@@ -62,3 +62,52 @@ def test_failed_write_not_committed(spark, tmp_path):
             ckpt,
         )
     assert not ckpt.is_done("p1")  # crash before ack -> partition re-runs
+
+
+def test_run_pipeline_resumable_skips_and_records_metrics(spark, tmp_path):
+    """Flagship-on-checkpoint: crash after day 1, restart completes the
+    rest, finished day untouched, lineage carries per-stage metrics,
+    and the union of per-day outputs equals the single-shot pipeline."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_spark.plans.checkpoint import CheckpointManager, run_pipeline_resumable
+    from vector_spark.plans.transcript_pipeline import run_pipeline_fused
+    from vector_spark.sources.synth import TRANSCRIPT_SCHEMA, gen_transcripts_pdf
+
+    src = str(tmp_path / "in")
+    pdf = gen_transcripts_pdf(np.arange(3000))  # conv offset 60s -> spans 2+ ts-days
+    spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+
+    ran = run_pipeline_resumable(spark, src, out)
+    assert len(ran) >= 2
+    first_day = sorted(ran)[0]
+    assert ran[first_day]["stage_metrics"]["parse_enrich"]["rows"] > 0
+
+    # simulate a restart: completed days must be skipped
+    ran2 = run_pipeline_resumable(spark, src, out)
+    assert ran2 == {}
+
+    # remove one manifest entry -> exactly that day re-runs
+    ckpt = CheckpointManager(out + "/_checkpoints")
+    import os
+
+    os.remove(ckpt._path(first_day))
+    ran3 = run_pipeline_resumable(spark, src, out)
+    assert list(ran3) == [first_day]
+
+    # union of per-day outputs == single-shot fused pipeline
+    got = (
+        spark.read.parquet(out + "/day=*")
+        .groupBy("sink")
+        .agg(F.sum("events").alias("n"))
+        .collect()
+    )
+    want = (
+        run_pipeline_fused(spark, spark.read.parquet(src), stable_order=False)
+        .groupBy("sink")
+        .agg(F.sum("events").alias("n"))
+        .collect()
+    )
+    assert {r.sink: r.n for r in got} == {r.sink: r.n for r in want}

@@ -90,3 +90,77 @@ def run_resumable(
         ckpt.commit(key, lineage)  # ack-then-checkpoint ordering
         ran[key] = lineage
     return ran
+
+
+def run_pipeline_resumable(
+    spark,
+    transcripts_path: str,
+    out_dir: str,
+    ckpt_dir: str | None = None,
+) -> dict[str, dict]:
+    """The flagship fused pipeline as a day-partitioned resumable job:
+    one unit of progress per ts-day (the Iceberg `days(ts)` partition),
+    each day's per-sink aggregates written idempotently to
+    out_dir/day=<d>/ and committed to the manifest with per-stage row
+    metrics in the lineage (ack-then-checkpoint). Restart skips
+    completed days.
+
+    Day partitioning is sound for the aggregate output because the
+    10-minute tumbling windows are epoch-aligned (86400 % 600 == 0: no
+    window spans a day boundary), so the union of per-day aggregates
+    equals the global aggregate. Ordering-sensitive outputs (turn_seq)
+    would need conversation-complete partitions — bucket(conv_id) —
+    instead; the fused aggregate runs with stable_order=False here.
+    """
+    from pyspark.sql import functions as F
+
+    from vector_spark.plans.metrics import StageMetrics
+    from vector_spark.plans.transcript_pipeline import run_pipeline_fused
+
+    df = spark.read.parquet(transcripts_path)
+    days = sorted(
+        r["d"].strftime("%Y-%m-%d")
+        for r in df.select(F.date_trunc("day", "ts").alias("d")).distinct().collect()
+    )
+    ckpt = CheckpointManager(ckpt_dir or os.path.join(out_dir, "_checkpoints"))
+
+    def load(day: str) -> DataFrame:
+        return df.filter(F.to_date("ts") == day)
+
+    metrics_box: dict[str, StageMetrics] = {}
+
+    def process(day_df: DataFrame) -> DataFrame:
+        m = StageMetrics()
+        metrics_box["m"] = m
+        return run_pipeline_fused(
+            day_df.sparkSession, day_df, stable_order=False, metrics=m
+        )
+
+    def write(day: str, out: DataFrame) -> int:
+        path = os.path.join(out_dir, f"day={day}")
+        out.write.mode("overwrite").parquet(path)  # idempotent per day
+        n = spark.read.parquet(path).count()
+        return n
+
+    def load_process_write(day: str) -> dict:
+        t0 = time.time()
+        day_df = load(day)
+        out = process(day_df)
+        rows_out = write(day, out)
+        m = metrics_box.pop("m")
+        return {
+            "rows_out": rows_out,
+            "seconds": round(time.time() - t0, 3),
+            "stage_metrics": {
+                k: {a: int(b) for a, b in v.items()} for k, v in m.collect().items()
+            },
+        }
+
+    ran: dict[str, dict] = {}
+    for day in days:
+        if ckpt.is_done(day):
+            continue
+        lineage = load_process_write(day)
+        ckpt.commit(day, lineage)
+        ran[day] = lineage
+    return ran
