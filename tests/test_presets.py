@@ -173,3 +173,22 @@ def test_vpc_flow_log(spark):
         parse_aws_vpc_flow_log,
     )
     assert row2.srcaddr is None and row2.bytes is None and row2.log_status == "NODATA"
+
+
+def test_aws_alb_log(spark):
+    from vector_spark.functions.presets import parse_aws_alb_log
+
+    line = (
+        'https 2018-07-02T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 '
+        '192.168.131.39:2817 10.0.0.1:80 0.086 0.048 0.037 200 200 0 57 '
+        '"GET https://www.example.com:443/ HTTP/1.1" "curl/7.46.0" '
+        'ECDHE-RSA-AES128-GCM-SHA256 TLSv1.2'
+    )
+    row = _one(spark, line, parse_aws_alb_log)
+    assert row.type == "https"
+    assert row.client_ip == "192.168.131.39" and row.client_port == 2817
+    assert row.elb_status_code == 200
+    assert row.target_processing_time == 0.048
+    assert row.method == "GET" and row.http_version == "HTTP/1.1"
+    assert row.user_agent == "curl/7.46.0"
+    assert row.ssl_protocol == "TLSv1.2"

@@ -195,3 +195,40 @@ def parse_aws_vpc_flow_log(col: Column) -> Column:
 # linux authorization logs (auth.log) are RFC3164 syslog lines; the
 # reference's preset is syslog parsing plus auth-specific enrichment
 parse_linux_authorization = parse_syslog
+
+
+# ALB core fields: type .. ssl_protocol plus the quoted request split
+# into method/url/version (the remaining ~13 optional fields — ARNs,
+# trace ids, redirect/error detail — follow the same quoted/unquoted
+# grammar; extend the regex on demand, parse_aws_alb_log.rs covers all)
+_ALB_RE = (
+    r'^(\S+) (\S+) (\S+) ([^ :]+):(\d+|-) ([^ ]+) '
+    r'([\d.-]+) ([\d.-]+) ([\d.-]+) (\d+|-) (\d+|-) (\d+) (\d+) '
+    r'"(\S+) (\S+) (\S+)" "([^"]*)" (\S+) (\S+)'
+)
+_ALB_FIELDS = [
+    ("type", "string"), ("time", "string"), ("elb", "string"),
+    ("client_ip", "string"), ("client_port", "int"), ("target", "string"),
+    ("request_processing_time", "double"), ("target_processing_time", "double"),
+    ("response_processing_time", "double"), ("elb_status_code", "int"),
+    ("target_status_code", "int"), ("received_bytes", "bigint"),
+    ("sent_bytes", "bigint"), ("method", "string"), ("url", "string"),
+    ("http_version", "string"), ("user_agent", "string"),
+    ("ssl_cipher", "string"), ("ssl_protocol", "string"),
+]
+
+
+def parse_aws_alb_log(col: Column) -> Column:
+    """AWS ALB access-log core fields -> typed struct; '-' -> NULL
+    (parse_aws_alb_log.rs)."""
+    from vector_spark.functions.parse import parse_regex
+
+    groups = {name: i for i, (name, _) in enumerate(_ALB_FIELDS, start=1)}
+    g = parse_regex(col, _ALB_RE, groups)
+    out = []
+    for name, typ in _ALB_FIELDS:
+        v = F.nullif(g[name], F.lit("-"))
+        if typ != "string":
+            v = v.try_cast(typ)
+        out.append(v.alias(name))
+    return F.struct(*out)

@@ -28,6 +28,7 @@ from vector_spark.functions import vrl_compat as V
 from vector_spark.functions.parse import parse_json_col, parse_key_value, parse_regex
 from vector_spark.functions.presets import (
     parse_apache_log,
+    parse_aws_alb_log,
     parse_aws_vpc_flow_log,
     parse_cef,
     parse_common_log,
@@ -77,7 +78,7 @@ VRL: dict[str, VrlFn] = {
     "parse_klog": VrlFn("compose", "presets.parse_klog (= glog layout)", parse_klog),
     "parse_cef": VrlFn("compose", "presets.parse_cef (header split + extension kv map)", parse_cef),
     "parse_linux_authorization": VrlFn("compose", "presets.parse_linux_authorization (= syslog layout)", parse_linux_authorization),
-    "parse_aws_alb_log": VrlFn("compose", "grok preset (regex bundle) — add pattern on demand", None),
+    "parse_aws_alb_log": VrlFn("compose", "presets.parse_aws_alb_log (typed core-field struct)", parse_aws_alb_log),
     "parse_aws_cloudwatch_log_subscription_message": VrlFn("native", "F.from_json with the subscription schema", None),
     "parse_aws_vpc_flow_log": VrlFn("compose", "presets.parse_aws_vpc_flow_log (typed struct)", parse_aws_vpc_flow_log),
     "parse_ruby_hash": VrlFn("scope", "ruby-literal parser; transcripts never carry it", None),
