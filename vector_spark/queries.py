@@ -1165,6 +1165,86 @@ FROM events
 """
 
 
+def q_op_parse_access_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_apache_log (CLF) round trip: deterministic access-log
+    lines synthesized from events columns, parsed back to typed fields
+    (parse_apache_log.rs 'common'). Timestamp checked as epoch seconds
+    (session TZ is UTC; offset rendered +0000 on both engines)."""
+    from vector_spark.functions.presets import parse_apache_log
+
+    ev = _tbl(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(".1 - u"),
+        F.col("user_id").cast("string"),
+        F.lit(" ["),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss Z"),
+        F.lit('] "'),
+        F.when(F.col("event_type") == "purchase", "POST").otherwise("GET"),
+        F.lit(" /"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("event_id").cast("string"),
+        F.lit(' HTTP/1.1" '),
+        (200 + F.col("event_id") % 300).cast("string"),
+        F.lit(" "),
+        F.floor(F.col("value") * 100).cast("string"),
+    )
+    s = parse_apache_log(line)
+    return ev.select(
+        "event_id",
+        s["client"].alias("client"),
+        s["auth"].alias("auth"),
+        F.unix_timestamp(s["ts"]).cast("bigint").alias("ts_epoch"),
+        s["method"].alias("method"),
+        s["path"].alias("path"),
+        s["status"].cast("bigint").alias("status"),
+        s["bytes"].alias("bytes"),
+    )
+
+
+SQL_OP_PARSE_ACCESS_LOG = r"""
+WITH lines AS (
+  SELECT event_id, ts,
+         concat('10.0.', CAST(user_id % 256 AS VARCHAR), '.1 - u',
+                CAST(user_id AS VARCHAR), ' [',
+                strftime(ts, '%d/%b/%Y:%H:%M:%S +0000'), '] "',
+                CASE WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END,
+                ' /', event_type, '/', CAST(event_id AS VARCHAR),
+                ' HTTP/1.1" ', CAST(200 + event_id % 300 AS VARCHAR), ' ',
+                CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)) AS line
+  FROM events)
+SELECT event_id,
+       regexp_extract(line, '^(\S+) ', 1) AS client,
+       regexp_extract(line, '^\S+ \S+ (\S+) ', 1) AS auth,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       regexp_extract(line, '"(\w+) ', 1) AS method,
+       regexp_extract(line, '"\w+ (\S+) ', 1) AS path,
+       CAST(regexp_extract(line, '" (\d+) ', 1) AS BIGINT) AS status,
+       CAST(regexp_extract(line, ' (\d+)$', 1) AS BIGINT) AS bytes
+FROM lines
+"""
+
+
+def q_dp_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword estimate: ceil(len(word)/4) summed per document
+    (textstats.bpe_ish_token_count)."""
+    from vector_spark.datapipe.textstats import bpe_ish_token_count
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("bpe_tokens"))
+
+
+SQL_DP_BPE_TOKENS = r"""
+SELECT doc_id,
+       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+            AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical document fingerprint (md5 over normalized text) —
     the groupBy key of exact dedup exposed per-document."""
@@ -1374,10 +1454,12 @@ QUERIES = {
     "op_enrich_between": q_op_enrich_between,
     "op_metric_to_log": q_op_metric_to_log,
     "op_parse_syslog": q_op_parse_syslog,
+    "op_parse_access_log": q_op_parse_access_log,
     "op_agg_salted": q_op_agg_salted,
     "op_aggregate_metrics": q_op_aggregate_metrics,
     "op_vrl_strings": q_op_vrl_strings,
     "dp_fingerprint": q_dp_fingerprint,
+    "dp_bpe_tokens": q_dp_bpe_tokens,
     "dp_simhash": q_dp_simhash,
     "dp_clean_corpus": q_dp_clean_corpus,
     "mm_features_checked": q_mm_features_checked,
@@ -1424,12 +1506,14 @@ ORACLES = {
     "op_enrich_between": SQL_OP_ENRICH_BETWEEN,
     "op_metric_to_log": SQL_OP_METRIC_TO_LOG,
     "op_parse_syslog": SQL_OP_PARSE_SYSLOG,
+    "op_parse_access_log": SQL_OP_PARSE_ACCESS_LOG,
     # same oracle as op_agg_hourly on purpose: the salted plan must
     # produce byte-identical results to the plain aggregation
     "op_agg_salted": SQL_OP_AGG_HOURLY,
     "op_aggregate_metrics": SQL_OP_AGGREGATE_METRICS,
     "op_vrl_strings": SQL_OP_VRL_STRINGS,
     "dp_fingerprint": SQL_DP_FINGERPRINT,
+    "dp_bpe_tokens": SQL_DP_BPE_TOKENS,
     "dp_simhash": SQL_DP_SIMHASH,
     "dp_clean_corpus": SQL_DP_CLEAN_CORPUS,
     "mm_features_checked": SQL_MM_FEATURES_CHECKED,
