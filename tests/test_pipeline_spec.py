@@ -85,3 +85,35 @@ def test_multi_input_union(spark, events_df):
     }
     ports = Pipeline(spec, spark).compile(inputs={"x": events_df, "y": events_df})
     assert ports["all"].count() == 10
+
+
+def test_spec_log_to_metric_roundtrip(spark):
+    """Spec DAG: events -> log_to_metric -> metric_to_log; the macro
+    system covers the metric shape converters too."""
+    from vector_spark.plans.pipeline import Pipeline
+
+    ev = spark.createDataFrame(
+        [(1, "click", 2.0, "2024-01-01 00:00:00")],
+        "event_id int, event_type string, value double, ts_s string",
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts_s"))
+    spec = {
+        "sources": {"events": {"type": "inject"}},
+        "transforms": {
+            "metrics": {
+                "type": "log_to_metric",
+                "inputs": ["events"],
+                "metrics": [
+                    {
+                        "mtype": "counter",
+                        "name": "events_total",
+                        "tags": {"event_type": "event_type"},
+                    }
+                ],
+            },
+            "logs": {"type": "metric_to_log", "inputs": ["metrics"]},
+        },
+    }
+    ports = Pipeline(spec, spark).compile(inputs={"events": ev})
+    row = ports["logs"].collect()[0]
+    assert '"name":"events_total"' in row.message
+    assert '"event_type":"click"' in row.message

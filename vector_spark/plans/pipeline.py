@@ -194,6 +194,26 @@ class Pipeline:
                 sep=t.get("sep", "\n"),
                 out_col=t.get("out_col", "message"),
             )
+        elif kind == "log_to_metric":
+            from vector_spark.operators.log_to_metric import MetricSpec, log_to_metric
+
+            specs = [
+                MetricSpec(
+                    mtype=m["mtype"],
+                    name=m["name"],
+                    namespace=m.get("namespace", "vector"),
+                    tags={k: _cond(v) for k, v in m.get("tags", {}).items()},
+                    value=_cond(m["value"]) if "value" in m else None,
+                    kind=m.get("kind", "incremental"),
+                    only_when=_cond(m["only_when"]) if "only_when" in m else None,
+                )
+                for m in t["metrics"]
+            ]
+            ports[name] = log_to_metric(df, specs, ts_col=t.get("ts_col", "ts"))
+        elif kind == "metric_to_log":
+            from vector_spark.operators.log_to_metric import metric_to_log
+
+            ports[name] = metric_to_log(df)
         elif kind == "cardinality_limit":
             ports[name] = tag_cardinality_limit(
                 df,
