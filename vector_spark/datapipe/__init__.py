@@ -18,3 +18,6 @@ from vector_spark.datapipe.textstats import (  # noqa: F401
     quality_score,
     token_count,
 )
+from vector_spark.datapipe.corpus_pipeline import clean_corpus  # noqa: F401
+from vector_spark.datapipe.dedup import normalize_text  # noqa: F401
+from vector_spark.datapipe.textstats import bpe_ish_token_count  # noqa: F401

@@ -14,3 +14,17 @@ from vector_spark.functions.parse import (  # noqa: F401
     parse_key_value,
     parse_regex,
 )
+from vector_spark.functions.presets import (  # noqa: F401
+    parse_apache_log,
+    parse_aws_alb_log,
+    parse_aws_vpc_flow_log,
+    parse_cef,
+    parse_common_log,
+    parse_glog,
+    parse_klog,
+    parse_linux_authorization,
+    parse_logfmt,
+    parse_nginx_log,
+    parse_syslog,
+)
+from vector_spark.functions.vrl_map import VRL, coverage_summary  # noqa: F401

@@ -10,3 +10,6 @@ from vector_spark.operators.remap import Remap, remap  # noqa: F401
 from vector_spark.operators.route import route  # noqa: F401
 from vector_spark.operators.sample import sample  # noqa: F401
 from vector_spark.operators.throttle import throttle  # noqa: F401
+from vector_spark.operators.dedupe import dedupe_lru_replay  # noqa: F401
+from vector_spark.operators.skew import salted_agg, salted_repartition  # noqa: F401
+from vector_spark.operators.udf import map_batches, map_groups  # noqa: F401
