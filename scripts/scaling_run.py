@@ -106,8 +106,6 @@ def main() -> None:
     # generate (or reuse) the dataset with ALL cores, unpinned
     run_at(levels[-1], n_convs, pad, pin=False, gen_only=True)
     results = {c: run_at(c, n_convs, pad) for c in reversed(levels)}
-    lo, hi = results[n], results[4 * n]
-    eff = (hi["throughput"] / lo["throughput"]) / 4
     effs = {
         f"{a}->{4 * a}": round(
             (results[4 * a]["throughput"] / results[a]["throughput"]) / 4, 3
@@ -115,6 +113,22 @@ def main() -> None:
         for a in levels
         if 4 * a in results
     }
+    # headline pair: N->4N when both ran; on hosts with < 4N cores fall
+    # back to the largest available a->4a pair instead of KeyError-ing
+    # after all the timed runs completed
+    if 4 * n in results:
+        head_n = n
+    else:
+        cands = [a for a in levels if 4 * a in results]
+        if not cands:
+            raise SystemExit(
+                f"host has {os.cpu_count()} cores; no a->4a pair available "
+                f"from levels {levels} — lower SCALING_N"
+            )
+        head_n = max(cands)
+    lo, hi = results[head_n], results[4 * head_n]
+    eff = (hi["throughput"] / lo["throughput"]) / 4
+    n = head_n
     summary = {
         "input": data_path(n_convs, pad),
         "turns": lo["turns"],

@@ -47,9 +47,12 @@ def _spread(df: DataFrame) -> DataFrame:
     (one parquet file -> one task) which would serialize the whole
     explode stage. At 100TB the scan is naturally thousands of input
     splits and this is a no-op; we only pay the tiny repartition
-    shuffle when the source has fewer partitions than cores."""
+    shuffle when the source has fewer files than cores. The file count
+    comes from the plan's file index (inputFiles) — NOT df.rdd, which
+    would materialize a full RDD conversion per call."""
     want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    files = df.inputFiles()
+    if files and len(files) < want:
         return df.repartition(want)
     return df
 
@@ -171,19 +174,38 @@ def minhash_dedup_pairs(
     n_hashes: int = 4,
     rows_per_band: int = 2,
     threshold: float = 0.2,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """The scale path: LSH candidate generation (band-bucket
     self-join — only docs colliding in a band are paired) + exact
-    Jaccard verification of candidates only."""
-    # ONE shared shingle frame feeds signatures, sizes, and the
-    # verification join — persisted so the explode+distinct shuffle
-    # runs once, not three times (MEMORY_AND_DISK: at corpus scale the
-    # shingle set exceeds RAM and spills rather than recomputing).
-    from pyspark import StorageLevel
+    Jaccard verification of candidates only.
 
-    sh = shingles(df, id_col, text_col, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    `max_bucket` caps the degenerate-bucket blowup: a band bucket
+    shared by B docs emits B^2/2 candidates, and boilerplate-heavy
+    corpora (license headers, templated pages) produce buckets with
+    millions of members — quadratic in exactly the place LSH was
+    meant to avoid. Buckets larger than the cap are dropped from
+    candidate generation (the standard MMDS-style mitigation: such
+    buckets carry near-zero information per pair; members still pair
+    through their OTHER bands when genuinely similar). None disables.
+
+    Plan note: the shared shingle frame (explode+distinct shuffle)
+    feeds signatures, sizes, and the verification join. It is NOT
+    persisted — with AQE on (tune_session default) the distinct's
+    exchange becomes one materialized ShuffleQueryStage reused by all
+    downstream subtrees (verified: executedPlan shows 2 distinct
+    stage ids referenced 16x), so shuffle files on local disk act as
+    the cache with no block-manager residency to leak."""
+    sh = shingles(df, id_col, text_col, n=n)
     sig = _signatures_from_shingles(sh, n_hashes)
     buckets = lsh_band_buckets(sig, n_hashes, rows_per_band)
+    if max_bucket is not None:
+        bw = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     l = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     r = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (

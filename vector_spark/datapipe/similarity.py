@@ -69,11 +69,15 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    bucket_join: bool = False,
+    bucket_join: bool = True,
 ) -> DataFrame:
-    """All pairs (a<b) with cosine >= threshold. bucket_join=True
-    restricts comparison to vectors sharing a quantization bucket —
-    the O(n^2) -> O(sum bucket^2) scale path."""
+    """All pairs (a<b) with cosine >= threshold. The DEFAULT is the
+    bucketed scale path: comparison restricted to vectors sharing a
+    quantization bucket — O(n^2) -> O(sum bucket^2), an equi-join on
+    bucket instead of a cross join (recall < 1 by design: near-dups
+    straddling a bucket boundary are missed; the knob is
+    quantize_bucket's dims/scale). bucket_join=False is the exact
+    quadratic ground-truth path for small scale / oracle use."""
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if bucket_join:
         v = v.withColumn("bucket", quantize_bucket(F.col("vec")))

@@ -17,10 +17,16 @@ from pyspark.sql import functions as F
 from vector_spark.functions.grok import grok_extract_native
 from vector_spark.functions.parse import parse_key_value
 
+# status/bytes are NOTSPACE, not INT: real CLF emits '-' for bytes on
+# 204/304 responses (and some servers for status), and the reference's
+# REGEX_APACHE_COMMON_LOG (src/sources/util/http/log_util.rs:29-30)
+# accepts '-' per field and leaves that field null rather than failing
+# the whole line. try_cast below turns '-' into NULL, matching that
+# field-level leniency.
 APACHE_COMMON_GROK = (
     '%{IP:client} %{NOTSPACE:ident} %{NOTSPACE:auth} '
     '[%{HTTPDATE:tstxt}] "%{WORD:method} %{NOTSPACE:path} '
-    'HTTP/%{NUMBER:httpversion}" %{INT:status} %{INT:bytes}'
+    'HTTP/%{NUMBER:httpversion}" %{NOTSPACE:status} %{NOTSPACE:bytes}'
 )
 
 SYSLOG_3164_GROK = (

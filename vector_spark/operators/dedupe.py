@@ -68,12 +68,30 @@ def dedupe_lru_replay(
     work = df.withColumn("__ord", ord_struct).repartition(1).sortWithinPartitions("__ord")
     names = [f.name for f in out_schema.fields]
 
+    # sentinel for null key components: the reference's
+    # build_cache_entry treats a missing/null field as a stable cache
+    # key component (dedupe.rs:160-202); pandas renders nulls in
+    # float-typed columns as NaN, and NaN != NaN would make every
+    # null-keyed row a cache miss. Normalize before keying. Column
+    # access goes through pdf[c].to_numpy() (positional itertuples +
+    # getattr breaks on non-identifier column names).
+    _NULL = object()
+
+    def _norm(v):
+        try:
+            if v is None or pd.isna(v):
+                return _NULL
+        except (TypeError, ValueError):
+            pass  # non-scalar cell (array/list): pass through as-is
+        return v
+
     def replay(batches):
         lru: OrderedDict = OrderedDict()
         for pdf in batches:
             keep = []
-            for row in pdf.itertuples(index=False):
-                key = tuple(getattr(row, c) for c in match)
+            cols = [pdf[c].to_numpy() for c in match]
+            for i in range(len(pdf)):
+                key = tuple(_norm(col[i]) for col in cols)
                 if key in lru:
                     lru.move_to_end(key)
                     keep.append(False)

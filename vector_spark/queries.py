@@ -815,6 +815,22 @@ FROM ranked WHERE rank <= 5
 
 
 def q_dp_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs ground truth (bucket_join=False, quadratic by
+    design — small-scale/oracle path; the certified scale plan is
+    dp_cosine_near_dup_bucketed)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(emb, threshold=0.4, bucket_join=False)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "sim",
+    )
+
+
+def q_dp_cosine_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path (default): quantization-bucket equi-join — no
+    cross join in the plan; pairs straddling a bucket boundary are
+    out of scope by construction (recall knob: quantize_bucket)."""
     emb = _tbl(spark, sf_dir, "embeddings")
     out = cosine_near_dup_pairs(emb, threshold=0.4)
     return out.select(
@@ -833,6 +849,10 @@ scored AS (
   FROM v a JOIN v b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4
 """
+
+# NOTE: _BUCKET_SQL (defined below for dp_ann_bucketed) is the DuckDB
+# replica of quantize_bucket; the bucketed near-dup oracle is
+# assembled after it.
 
 
 def q_dp_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,6 +887,18 @@ ranked AS (
 SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
        CAST(rank AS BIGINT) AS rank, sim
 FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_DP_COSINE_NEAR_DUP_BUCKETED = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {_BUCKET_SQL} AS bucket
+           FROM embeddings),
+scored AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+         round(list_dot_product(a.vv, b.vv) /
+               (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))), 6) AS sim
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4
 """
 
 
@@ -1350,11 +1382,17 @@ FROM documents d LEFT JOIN sig USING (doc_id)
 
 
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only driver entry for the mapInPandas decode pass. The
+    array<float> feature column is projected through to_json so every
+    output column is hashable by the driver's pandas canonicalizer
+    (sort_values dies on ndarray cells); mm_features_checked remains
+    the exact value oracle for the same pass."""
     from vector_spark.datapipe.multimodal import extract_features, synth_media_df
 
     _prep(spark)
     media = synth_media_df(spark, n=200)
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.withColumn("feature", F.to_json("feature"))
 
 
 def q_mm_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1447,6 +1485,7 @@ QUERIES = {
     "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
     "dp_cosine_topk": q_dp_cosine_topk,
     "dp_cosine_near_dup": q_dp_cosine_near_dup,
+    "dp_cosine_near_dup_bucketed": q_dp_cosine_near_dup_bucketed,
     "dp_ann_bucketed": q_dp_ann_bucketed,
     # operator breadth
     "op_sample_counter": q_op_sample_counter,
@@ -1500,6 +1539,7 @@ ORACLES = {
     "dp_minhash_lsh_pairs": SQL_DP_MINHASH_LSH_PAIRS,
     "dp_cosine_topk": SQL_DP_COSINE_TOPK,
     "dp_cosine_near_dup": SQL_DP_COSINE_NEAR_DUP,
+    "dp_cosine_near_dup_bucketed": SQL_DP_COSINE_NEAR_DUP_BUCKETED,
     "dp_ann_bucketed": SQL_DP_ANN_BUCKETED,
     "op_sample_counter": SQL_OP_SAMPLE_COUNTER,
     "op_reduce_sessions": SQL_OP_REDUCE_SESSIONS,
