@@ -454,6 +454,48 @@ WHERE NOT coalesce(value > 150, FALSE)
 """
 
 
+def q_op_route_ddsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route() driven by Datadog search query conditions — the
+    reference's second condition type (src/conditions/datadog_search.rs,
+    exercised by the http_pipelines_blackhole regression config's
+    routing). Each route condition is a compiled query string covering
+    term equality, numeric comparison, prefix wildcard, and NOT."""
+    from vector_spark.conditions import dd_query
+
+    ev = _tbl(spark, sf_dir, "events")
+    routed = route(
+        ev,
+        {
+            "errors": dd_query("event_type:error", ev),
+            "big": dd_query("value:>=150 AND NOT event_type:signup", ev),
+            "signups": dd_query("event_type:sign*", ev),
+        },
+    )
+    outs = [
+        rdf.select(F.lit(name).alias("route"), "event_id")
+        for name, rdf in routed.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+SQL_OP_ROUTE_DDSEARCH = """
+SELECT 'errors' AS route, event_id FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'big' AS route, event_id FROM events
+WHERE coalesce(value >= 150, FALSE) AND NOT coalesce(event_type = 'signup', FALSE)
+UNION ALL
+SELECT 'signups' AS route, event_id FROM events WHERE starts_with(event_type, 'sign')
+UNION ALL
+SELECT '_unmatched' AS route, event_id FROM events
+WHERE NOT (coalesce(event_type = 'error', FALSE)
+           OR (coalesce(value >= 150, FALSE) AND NOT coalesce(event_type = 'signup', FALSE))
+           OR coalesce(starts_with(event_type, 'sign'), FALSE))
+"""
+
+
 def q_op_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _tbl(spark, sf_dir, "events").withColumn(
         "k", F.get_json_object(F.col("props"), "$.k").cast("bigint")
@@ -1468,6 +1510,7 @@ QUERIES = {
     "op_agg_hourly": q_op_agg_hourly,
     "op_throttle": q_op_throttle,
     "op_route_events": q_op_route_events,
+    "op_route_ddsearch": q_op_route_ddsearch,
     "op_cardinality": q_op_cardinality,
     "op_line_agg": q_op_line_agg,
     "op_enrich_dim": q_op_enrich_dim,
@@ -1524,6 +1567,7 @@ ORACLES = {
     "op_agg_hourly": SQL_OP_AGG_HOURLY,
     "op_throttle": SQL_OP_THROTTLE,
     "op_route_events": SQL_OP_ROUTE_EVENTS,
+    "op_route_ddsearch": SQL_OP_ROUTE_DDSEARCH,
     "op_cardinality": SQL_OP_CARDINALITY,
     "op_line_agg": SQL_OP_LINE_AGG,
     "op_enrich_dim": SQL_OP_ENRICH_DIM,
