@@ -74,6 +74,13 @@ def redact(col: Column, patterns: list[str], replacement: str = "[REDACTED]") ->
     return out
 
 
+def strip_whitespace(col: Column) -> Column:
+    """strip_whitespace.rs trims ALL whitespace (\\n, \\t, ...);
+    F.trim only strips the space character — golden-corpus replay
+    caught the difference."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def strip_ansi_escape_codes(col: Column) -> Column:
     """strip_ansi_escape_codes.rs."""
     return F.regexp_replace(col, r"\x1b\[[0-9;]*[A-Za-z]", "")
@@ -97,11 +104,32 @@ def decode_base64(col: Column) -> Column:
 
 
 def encode_percent(col: Column) -> Column:
-    return F.url_encode(col)
+    """encode_percent.rs: RFC 3986 percent-encoding. url_encode is
+    form-encoding (space -> '+'); a literal '+' in the input becomes
+    %2B first, so rewriting '+' -> '%20' afterwards is lossless."""
+    return F.regexp_replace(F.url_encode(col), r"\+", "%20")
 
 
 def decode_percent(col: Column) -> Column:
     return F.url_decode(col)
+
+
+# --- type conversion ---------------------------------------------------------
+
+_TRUE_STRINGS = ["true", "t", "yes", "y", "1"]
+_FALSE_STRINGS = ["false", "f", "no", "n", "0"]
+
+
+def to_bool(col: Column) -> Column:
+    """to_bool.rs (Conversion::parse_bool): true/t/yes/y/1 -> true,
+    false/f/no/n/0 -> false (case-insensitive); numerics by != 0;
+    null for anything else (the fallible branch)."""
+    low = F.lower(F.trim(col.cast("string")))
+    return (
+        F.when(low.isin(_TRUE_STRINGS), F.lit(True))
+        .when(low.isin(_FALSE_STRINGS), F.lit(False))
+        .otherwise(col.try_cast("boolean"))
+    )
 
 
 # --- type introspection ------------------------------------------------------

@@ -59,9 +59,11 @@ VRL: dict[str, VrlFn] = {
     "parse_grok": VrlFn("udf", "grok.grok_extract_pandas (compiled regex, Arrow)", _grok),
     "parse_groks": VrlFn("udf", "first-match over grok_extract_pandas structs (coalesce)", None),
     "parse_regex": VrlFn("compose", "parse.parse_regex -> struct", parse_regex),
-    "parse_regex_all": VrlFn("native", "F.regexp_extract_all", lambda c, r, i=1: F.regexp_extract_all(c, r, i)),
+    "parse_regex_all": VrlFn("native", "F.regexp_extract_all", lambda c, r, i=1: F.regexp_extract_all(c, F.lit(r), i)),
     "parse_json": VrlFn("native", "F.from_json / get_json_object", parse_json_col),
-    "parse_csv": VrlFn("native", "F.from_csv", lambda c, s: F.from_csv(c, s)),
+    # escape='"' matches VRL's RFC4180 doubled-quote escaping (Spark's
+    # default escape is backslash — golden-corpus replay caught it)
+    "parse_csv": VrlFn("native", "F.from_csv(options={'escape': '\"'})", lambda c, s, o=None: F.from_csv(c, s, o or {"escape": '"'})),
     "parse_key_value": VrlFn("compose", "parse.parse_key_value -> map", parse_key_value),
     "parse_logfmt": VrlFn("compose", "presets.parse_logfmt", parse_logfmt),
     "parse_timestamp": VrlFn("native", "F.to_timestamp(fmt)", lambda c, f: F.to_timestamp(c, f)),
@@ -96,7 +98,7 @@ VRL: dict[str, VrlFn] = {
     "slice": VrlFn("native", "F.substring / F.slice", None),
     "strlen": VrlFn("native", "F.length", F.length),
     "length": VrlFn("native", "F.length (string) / F.size (array/map)", None),
-    "strip_whitespace": VrlFn("native", "F.trim", F.trim),
+    "strip_whitespace": VrlFn("compose", "vrl_compat.strip_whitespace (all-whitespace trim; F.trim only strips spaces)", V.strip_whitespace),
     "strip_ansi_escape_codes": VrlFn("compose", "vrl_compat.strip_ansi_escape_codes", V.strip_ansi_escape_codes),
     "truncate": VrlFn("compose", "vrl_compat.truncate", V.truncate),
     "find": VrlFn("native", "F.instr / F.regexp_instr", None),
@@ -128,11 +130,11 @@ VRL: dict[str, VrlFn] = {
     "floor": VrlFn("native", "F.floor", F.floor),
     "round": VrlFn("native", "F.round", F.round),
     "mod_func": VrlFn("native", "F.pmod / %", F.pmod),
-    "log": VrlFn("native", "F.log", F.log),
+    "log": VrlFn("driver", "VRL log() emits to the host's log (side effect, returns null); Spark analogue is df.observe / log4j, not a Column fn", None),
     "format_int": VrlFn("native", "F.conv(n, 10, base)", None),
     "format_number": VrlFn("native", "F.format_number", F.format_number),
     # --- type conversion / introspection ---------------------------------
-    "to_bool": VrlFn("native", "cast('boolean')", lambda c: c.cast("boolean")),
+    "to_bool": VrlFn("compose", "vrl_compat.to_bool (yes/y/1-style coercions)", V.to_bool),
     "to_float": VrlFn("native", "cast('double')", lambda c: c.cast("double")),
     "to_int": VrlFn("native", "cast('bigint')", lambda c: c.cast("bigint")),
     "to_string": VrlFn("native", "cast('string')", lambda c: c.cast("string")),
