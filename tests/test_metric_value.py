@@ -1,0 +1,89 @@
+"""Metric value-type merging (lib/vector-core/src/event/metric/value.rs
+add rules, :206-300) — histogram layout guard, distribution concat,
+set union, sketch-style quantiles."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from vector_spark.operators.metric_value import (
+    distribution_stats,
+    make_histogram,
+    merge_distributions,
+    merge_histograms,
+    merge_sets,
+)
+
+TS = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _hist_rows(spark, values, uppers, name="m"):
+    df = spark.createDataFrame(
+        [(name, float(v), TS) for v in values], "name string, value double, ts timestamp"
+    )
+    buckets, cnt, total = make_histogram(F.col("value"), uppers)
+    return df.select(
+        "name", buckets.alias("buckets"), cnt.alias("count"), total.alias("sum"), "ts"
+    )
+
+
+def test_histogram_merge_elementwise(spark):
+    m = _hist_rows(spark, [10, 60, 60, 150, 999], [50.0, 100.0, 200.0])
+    out = merge_histograms(m, "1 day", ["name"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    counts = [b["count"] for b in row.buckets]
+    uppers = [b["upper"] for b in row.buckets]
+    assert uppers == [50.0, 100.0, 200.0]
+    # 10 -> b0; 60,60 -> b1; 150 -> b2; 999 -> implicit +Inf (count/sum only)
+    assert counts == [1, 2, 1]
+    assert row["count"] == 5
+    assert row["sum"] == 10 + 60 + 60 + 150 + 999
+
+
+def test_histogram_layout_guard(spark):
+    """value.rs:244-247: differing bucket layouts must NOT merge —
+    here they land in separate rows (layout is a grouping key)."""
+    a = _hist_rows(spark, [10, 60], [50.0, 100.0])
+    b = _hist_rows(spark, [10, 60], [25.0, 100.0])
+    out = merge_histograms(a.unionByName(b), "1 day", ["name"]).collect()
+    assert len(out) == 2
+    layouts = sorted(tuple(x["upper"] for x in r.buckets) for r in out)
+    assert layouts == [(25.0, 100.0), (50.0, 100.0)]
+    for r in out:
+        assert r["count"] == 2
+
+
+def test_distribution_merge_and_stats(spark):
+    rows = [
+        ("m", [(1.0, 1)], "histogram", TS),
+        ("m", [(3.0, 2)], "histogram", TS),
+        ("m", [(5.0, 1)], "summary", TS),  # different statistic: no merge
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "name string, samples array<struct<value:double,rate:bigint>>, "
+        "statistic string, ts timestamp",
+    )
+    merged = merge_distributions(df, "1 day", ["name"])
+    got = {r.statistic: r for r in merged.collect()}
+    assert sorted(s.value for s in got["histogram"].samples) == [1.0, 3.0]
+    assert len(got["summary"].samples) == 1
+    stats = distribution_stats(
+        merged.filter(F.col("statistic") == "histogram"), quantiles=[0.5]
+    ).collect()[0]
+    assert stats["count"] == 3  # rate-weighted: 1x1 + 3x2
+    assert stats["sum"] == 7.0
+    assert stats["min"] == 1.0 and stats["max"] == 3.0
+    assert stats["q50"] == 3.0  # weighted median of [1,3,3]
+
+
+def test_set_merge(spark):
+    rows = [("m", ["a", "b"], TS), ("m", ["b", "c"], TS)]
+    df = spark.createDataFrame(
+        rows, "name string, set_values array<string>, ts timestamp"
+    )
+    out = merge_sets(df, "1 day", ["name"]).collect()[0]
+    assert out.set_values == ["a", "b", "c"]

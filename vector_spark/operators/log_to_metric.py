@@ -10,8 +10,13 @@ Metric event schema used across this engine (a flat Spark rendering of
 lib/vector-core/src/event/metric: MetricSeries + MetricData):
   name:string, namespace:string, tags:map<string,string>,
   kind:string ('incremental'|'absolute'),
-  mtype:string ('counter'|'gauge'|'set'),
+  mtype:string ('counter'|'gauge'|'set'|'histogram'|'summary'),
   value:double, ts:timestamp
+  samples:array<struct<value:double,rate:bigint>>  (histogram/summary
+    specs: a single-sample Distribution per event,
+    log_to_metric.rs:287-327; merge in operators.metric_value)
+  set_values:array<string>  (set specs: singleton value set,
+    log_to_metric.rs:329-340)
 """
 
 from __future__ import annotations
@@ -24,9 +29,13 @@ from pyspark.sql import functions as F
 
 @dataclass
 class MetricSpec:
-    """One derived metric (one entry of log_to_metric's `metrics` list)."""
+    """One derived metric (one entry of log_to_metric's `metrics` list).
 
-    mtype: str  # counter | gauge | set
+    mtype 'histogram'/'summary' emit a single-sample Distribution with
+    that statistic kind (log_to_metric.rs:287-327); 'set' emits a
+    singleton value set (:329-340)."""
+
+    mtype: str  # counter | gauge | set | histogram | summary
     name: str | Column
     namespace: str | Column = "vector"
     tags: dict[str, Column] = field(default_factory=dict)
@@ -53,6 +62,20 @@ def log_to_metric(df: DataFrame, specs: list[MetricSpec], ts_col: str = "ts") ->
         proj = df
         if s.only_when is not None:
             proj = proj.filter(F.coalesce(s.only_when, F.lit(False)))
+        null_samples = F.lit(None).cast(
+            "array<struct<value:double,rate:bigint>>"
+        )
+        null_set = F.lit(None).cast("array<string>")
+        if s.mtype in ("histogram", "summary"):
+            samples_c = F.array(
+                F.struct(val_c.alias("value"), F.lit(1).cast("bigint").alias("rate"))
+            )
+            set_c = null_set
+        elif s.mtype == "set":
+            samples_c = null_samples
+            set_c = F.array(val_c.cast("string"))
+        else:
+            samples_c, set_c = null_samples, null_set
         outs.append(
             proj.select(
                 name_c.alias("name"),
@@ -61,6 +84,8 @@ def log_to_metric(df: DataFrame, specs: list[MetricSpec], ts_col: str = "ts") ->
                 F.lit(s.kind).alias("kind"),
                 F.lit(s.mtype).alias("mtype"),
                 val_c.alias("value"),
+                samples_c.alias("samples"),
+                set_c.alias("set_values"),
                 F.col(ts_col).alias("ts"),
             )
         )

@@ -1214,6 +1214,141 @@ FROM m GROUP BY 1, 2, 3
 """
 
 
+_HIST_UPPERS = [50.0, 100.0, 200.0]
+
+
+def q_op_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatedHistogram merge (value.rs:229-253): each event's
+    value becomes a single-observation histogram under a fixed bucket
+    layout; merge adds bucket counts element-wise per (day window,
+    event_type). Buckets flattened to scalar columns for the driver's
+    canonicalizer."""
+    from vector_spark.operators.metric_value import make_histogram, merge_histograms
+
+    ev = _tbl(spark, sf_dir, "events")
+    buckets, cnt, total = make_histogram(F.col("value"), _HIST_UPPERS)
+    m = ev.select(
+        F.col("event_type").alias("name"),
+        buckets.alias("buckets"),
+        cnt.alias("count"),
+        total.alias("sum"),
+        "ts",
+    )
+    out = merge_histograms(m, "1 day", ["name"])
+    sel = [
+        F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+        F.col("name"),
+    ]
+    for i in range(len(_HIST_UPPERS)):
+        sel.append(
+            F.element_at("buckets", i + 1)["count"].cast("bigint").alias(f"b{i}")
+        )
+    sel.append(F.col("count").cast("bigint").alias("count"))
+    sel.append(F.round("sum", 2).alias("sum"))
+    return out.select(*sel)
+
+
+SQL_OP_AGG_HISTOGRAM = """
+SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS window_epoch,
+       event_type AS name,
+       CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+       CAST(sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+       CAST(sum(CASE WHEN value > 100 AND value <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+       CAST(count(*) AS BIGINT) AS count,
+       round(sum(value), 2) AS sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_op_log_to_metric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log_to_metric Histogram spec (log_to_metric.rs:287-302) ->
+    single-sample Distribution per event -> distribution merge
+    (value.rs:217-228) per day -> sink-side scalar stats. Quantiles
+    (percentile_approx, the sketch analogue) are pytest-covered; the
+    oracle checks the exactly-reproducible stats."""
+    from vector_spark.operators.log_to_metric import MetricSpec, log_to_metric
+    from vector_spark.operators.metric_value import merge_distributions
+
+    ev = _tbl(spark, sf_dir, "events")
+    metrics = log_to_metric(
+        ev,
+        [
+            MetricSpec(
+                mtype="histogram",
+                name="purchase_value",
+                value=F.col("value"),
+                only_when=F.col("event_type") == "purchase",
+            )
+        ],
+    )
+    merged = merge_distributions(
+        metrics.withColumn("statistic", F.lit("histogram")),
+        "1 day",
+        ["name"],
+    )
+    s = F.col("samples")
+    vals = F.transform(s, lambda x: x["value"])
+    cnt = F.aggregate(
+        F.transform(s, lambda x: x["rate"]),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    total = F.aggregate(
+        s, F.lit(0.0), lambda a, x: a + x["value"] * x["rate"].cast("double")
+    )
+    return merged.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+        "name",
+        "statistic",
+        cnt.alias("count"),
+        F.round(total, 2).alias("sum"),
+        F.round(F.array_min(vals), 2).alias("min"),
+        F.round(F.array_max(vals), 2).alias("max"),
+    )
+
+
+SQL_OP_LOG_TO_METRIC_HISTOGRAM = """
+SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS window_epoch,
+       'purchase_value' AS name, 'histogram' AS statistic,
+       CAST(count(*) AS BIGINT) AS count,
+       round(sum(value), 2) AS sum,
+       round(min(value), 2) AS min,
+       round(max(value), 2) AS max
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def q_op_agg_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-metric merge (value.rs:213-216): union of unique string
+    values per (day window, series); rendered as a joined string so
+    every output column is canonicalizer-hashable."""
+    from vector_spark.operators.metric_value import merge_sets
+
+    ev = _tbl(spark, sf_dir, "events")
+    m = ev.select(
+        F.pmod(F.col("user_id"), F.lit(10)).cast("bigint").alias("cohort"),
+        F.array(F.col("event_type")).alias("set_values"),
+        "ts",
+    )
+    out = merge_sets(m, "1 day", ["cohort"])
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+        "cohort",
+        F.array_join("set_values", ",").alias("values"),
+        F.size("set_values").cast("bigint").alias("n"),
+    )
+
+
+SQL_OP_AGG_SET = """
+SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS window_epoch,
+       CAST(user_id % 10 AS BIGINT) AS cohort,
+       array_to_string(array_sort(array_agg(DISTINCT event_type)), ',') AS values,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_op_vrl_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VRL string/codec function surface over real rows: truncate,
     redact, encode_base64 (truncate.rs / redact.rs /
@@ -1511,6 +1646,9 @@ QUERIES = {
     "op_throttle": q_op_throttle,
     "op_route_events": q_op_route_events,
     "op_route_ddsearch": q_op_route_ddsearch,
+    "op_agg_histogram": q_op_agg_histogram,
+    "op_log_to_metric_histogram": q_op_log_to_metric_histogram,
+    "op_agg_set": q_op_agg_set,
     "op_cardinality": q_op_cardinality,
     "op_line_agg": q_op_line_agg,
     "op_enrich_dim": q_op_enrich_dim,
@@ -1568,6 +1706,9 @@ ORACLES = {
     "op_throttle": SQL_OP_THROTTLE,
     "op_route_events": SQL_OP_ROUTE_EVENTS,
     "op_route_ddsearch": SQL_OP_ROUTE_DDSEARCH,
+    "op_agg_histogram": SQL_OP_AGG_HISTOGRAM,
+    "op_log_to_metric_histogram": SQL_OP_LOG_TO_METRIC_HISTOGRAM,
+    "op_agg_set": SQL_OP_AGG_SET,
     "op_cardinality": SQL_OP_CARDINALITY,
     "op_line_agg": SQL_OP_LINE_AGG,
     "op_enrich_dim": SQL_OP_ENRICH_DIM,
