@@ -1,0 +1,127 @@
+"""Codec breadth: gelf / native_json deserializers and
+length-delimited / octet-counting framings (round-trips)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from vector_spark.sources.codecs import (
+    decode_gelf,
+    read_gelf,
+    read_length_delimited,
+    read_native_json,
+    read_octet_counting,
+)
+
+
+def test_gelf_decode(spark, tmp_path):
+    lines = [
+        json.dumps(
+            {
+                "version": "1.1",
+                "host": "example.org",
+                "short_message": "A short message",
+                "full_message": "Backtrace here\n\nmore stuff",
+                "timestamp": 1385053862.3072,
+                "level": 1,
+                "facility": "payments",
+                "line": 42.0,
+                "file": "server.rb",
+                "_user_id": "9001",
+                "_id": "S3creTz",  # dropped per spec (gelf.rs:135-137)
+                "bad key": "x",  # not underscore-prefixed: not additional
+            }
+        ),
+        "not json at all",
+    ]
+    p = tmp_path / "gelf.log"
+    p.write_text("\n".join(lines))
+    out = read_gelf(spark, str(p)).orderBy("raw").collect()
+    good = [r for r in out if r.event and r.event.message is not None][0].event
+    assert good.message == "A short message"
+    assert good.host == "example.org"
+    assert good.level == 1
+    assert good.facility == "payments"
+    assert good.file == "server.rb"
+    assert int(good.timestamp.timestamp()) == 1385053862
+    assert good.additional == {"_user_id": "9001"}
+    bad = [r for r in out if r.raw == "not json at all"][0]
+    assert bad.event.message is None  # decode error channel
+
+
+def test_native_json_decode(spark, tmp_path):
+    lines = [
+        json.dumps({"log": {"message": "hello", "host": "a"}}),
+        json.dumps(
+            [
+                {"log": {"message": "one"}},
+                {
+                    "metric": {
+                        "name": "ctr",
+                        "kind": "incremental",
+                        "counter": {"value": 2.5},
+                    }
+                },
+            ]
+        ),
+        "",
+    ]
+    p = tmp_path / "native.ndjson"
+    p.write_text("\n".join(lines))
+    out = read_native_json(spark, str(p)).select("event.*").collect()
+    logs = [r.log for r in out if r.log is not None]
+    metrics = [r.metric for r in out if r.metric is not None]
+    assert sorted(l["message"] for l in logs) == ["hello", "one"]
+    assert len(metrics) == 1 and metrics[0].counter.value == 2.5
+    assert metrics[0].kind == "incremental"
+
+
+def _frames_payloads(rows):
+    return [r.payload for r in sorted(rows, key=lambda r: (r.path, r.frame_idx))]
+
+
+def test_length_delimited_roundtrip(spark, tmp_path):
+    frames = ["first frame", "second", "third ñ frame"]
+    buf = b"".join(
+        len(f.encode()).to_bytes(4, "big") + f.encode() for f in frames
+    )
+    d = tmp_path / "ld"
+    os.makedirs(d)
+    (d / "a.bin").write_bytes(buf + b"\x00\x00")  # truncated tail dropped
+    out = read_length_delimited(spark, str(d)).collect()
+    assert _frames_payloads(out) == frames
+
+
+def test_octet_counting_roundtrip(spark, tmp_path):
+    frames = ["<34>Oct 11 22:14:15 host app: one", "<13>two"]
+    buf = b"".join(f"{len(f.encode())} {f}".encode() for f in frames)
+    d = tmp_path / "oc"
+    os.makedirs(d)
+    (d / "a.bin").write_bytes(buf)
+    out = read_octet_counting(spark, str(d)).collect()
+    assert _frames_payloads(out) == frames
+
+
+def test_gelf_encode_decode_identity(spark):
+    """decode(encode(x)) == projection of x — same identity the
+    oracled op_decode_gelf query certifies at sf scale."""
+    df = spark.createDataFrame(
+        [("h1", "boot", 1700000000.25, 3, "77")],
+        "host string, short_message string, timestamp double, level int, uid string",
+    )
+    line = F.to_json(
+        F.struct(
+            F.lit("1.1").alias("version"),
+            "host",
+            "short_message",
+            "timestamp",
+            "level",
+            F.col("uid").alias("_uid"),
+        )
+    )
+    ev = df.select(decode_gelf(line).alias("e")).select("e.*").collect()[0]
+    assert (ev.message, ev.host, ev.level) == ("boot", "h1", 3)
+    assert ev.additional == {"_uid": "77"}

@@ -1319,6 +1319,49 @@ GROUP BY 1
 """
 
 
+def q_op_decode_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GELF codec round trip (lib/codecs/src/decoding/format/gelf.rs):
+    events rendered as GELF JSON lines, then decoded through the gelf
+    deserializer. The oracle is the identity projection — decode must
+    recover exactly the encoded fields, including the _id drop and
+    additional-field filtering."""
+    from vector_spark.sources.codecs import decode_gelf
+
+    ev = _tbl(spark, sf_dir, "events")
+    line = F.to_json(
+        F.struct(
+            F.lit("1.1").alias("version"),
+            F.concat(F.lit("host-"), F.pmod("user_id", F.lit(50)).cast("string")).alias("host"),
+            F.col("event_type").alias("short_message"),
+            F.unix_timestamp("ts").cast("double").alias("timestamp"),
+            F.pmod("event_id", F.lit(8)).cast("int").alias("level"),
+            F.col("value").cast("string").alias("_value"),
+            F.lit("dropme").alias("_id"),
+        )
+    )
+    dec = ev.select(F.col("event_id"), decode_gelf(line).alias("e"))
+    return dec.select(
+        "event_id",
+        F.col("e.message").alias("message"),
+        F.col("e.host").alias("host"),
+        F.unix_timestamp("e.timestamp").cast("bigint").alias("ts_epoch"),
+        F.col("e.level").alias("level"),
+        F.element_at("e.additional", "_value").alias("value_str"),
+        F.size("e.additional").cast("bigint").alias("n_additional"),
+    )
+
+
+SQL_OP_DECODE_GELF = """
+SELECT event_id, event_type AS message,
+       concat('host-', CAST(user_id % 50 AS VARCHAR)) AS host,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       CAST(event_id % 8 AS INTEGER) AS level,
+       CAST(value AS VARCHAR) AS value_str,
+       CAST(1 AS BIGINT) AS n_additional
+FROM events
+"""
+
+
 def q_op_agg_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-metric merge (value.rs:213-216): union of unique string
     values per (day window, series); rendered as a joined string so
@@ -1649,6 +1692,7 @@ QUERIES = {
     "op_agg_histogram": q_op_agg_histogram,
     "op_log_to_metric_histogram": q_op_log_to_metric_histogram,
     "op_agg_set": q_op_agg_set,
+    "op_decode_gelf": q_op_decode_gelf,
     "op_cardinality": q_op_cardinality,
     "op_line_agg": q_op_line_agg,
     "op_enrich_dim": q_op_enrich_dim,
@@ -1709,6 +1753,7 @@ ORACLES = {
     "op_agg_histogram": SQL_OP_AGG_HISTOGRAM,
     "op_log_to_metric_histogram": SQL_OP_LOG_TO_METRIC_HISTOGRAM,
     "op_agg_set": SQL_OP_AGG_SET,
+    "op_decode_gelf": SQL_OP_DECODE_GELF,
     "op_cardinality": SQL_OP_CARDINALITY,
     "op_line_agg": SQL_OP_LINE_AGG,
     "op_enrich_dim": SQL_OP_ENRICH_DIM,

@@ -56,6 +56,160 @@ def decode_syslog_line(col: Column) -> Column:
     )
 
 
+GELF_KNOWN_SCHEMA = (
+    "version string, host string, short_message string, full_message string, "
+    "timestamp double, level int, facility string, line double, file string"
+)
+
+# lib/codecs/src/gelf.rs:46 — additional-field name validity
+_GELF_FIELD_RX = r"^[\w\.\-]*$"
+
+
+def decode_gelf(col: Column) -> Column:
+    """GELF deserializer (lib/codecs/src/decoding/format/gelf.rs):
+    JSON line -> struct(message, host, timestamp, level, facility,
+    line, file, additional:map<string,string>). Mapping mirrors the
+    reference: short_message becomes the message body (:83), the
+    float epoch timestamp converts at second+fraction precision
+    (:101-108), `_id` is dropped and only underscore-prefixed keys
+    matching the validity regex survive into `additional`
+    (:133-152). Values are coerced to strings (GELF restricts them
+    to strings and numbers, :154-156)."""
+    known = F.from_json(col, GELF_KNOWN_SCHEMA)
+    allm = F.from_json(col, "map<string,string>")
+    additional = F.map_filter(
+        allm,
+        lambda k, v: k.startswith("_") & (k != "_id") & k.rlike(_GELF_FIELD_RX),
+    )
+    return F.struct(
+        known["short_message"].alias("message"),
+        known["full_message"].alias("full_message"),
+        known["host"].alias("host"),
+        F.timestamp_seconds(known["timestamp"]).alias("timestamp"),
+        known["level"].alias("level"),
+        known["facility"].alias("facility"),
+        known["line"].alias("line"),
+        known["file"].alias("file"),
+        additional.alias("additional"),
+    )
+
+
+def read_gelf(spark: SparkSession, path: str) -> DataFrame:
+    """NewlineDelimited framing + GELF deserializer."""
+    raw = spark.read.text(path)
+    return raw.select(
+        F.col("value").alias("raw"), decode_gelf(F.col("value")).alias("event")
+    )
+
+
+NATIVE_METRIC_SCHEMA = (
+    "name string, namespace string, tags map<string,string>, kind string, "
+    "counter struct<value:double>, gauge struct<value:double>"
+)
+
+
+def decode_native_json(col: Column, log_schema: str = "map<string,string>") -> Column:
+    """native_json deserializer
+    (lib/codecs/src/decoding/format/native_json.rs): Vector's own
+    event envelope {"log": {...}} | {"metric": {...}} -> struct(log,
+    metric); exactly one side is non-null per event."""
+    return F.from_json(
+        col, f"log {log_schema}, metric struct<{NATIVE_METRIC_SCHEMA}>"
+    )
+
+
+def read_native_json(
+    spark: SparkSession, path: str, log_schema: str = "map<string,string>"
+) -> DataFrame:
+    """Newline framing + native_json deserializer. Top-level JSON
+    arrays fan out to one event per element (native_json.rs:63-67);
+    single objects normalize through a one-element array so both
+    shapes share one from_json+explode plan."""
+    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    as_array = F.when(
+        F.startswith(F.trim(F.col("value")), F.lit("[")), F.col("value")
+    ).otherwise(F.concat(F.lit("["), F.col("value"), F.lit("]")))
+    events = F.from_json(
+        as_array, f"array<struct<log {log_schema}, metric struct<{NATIVE_METRIC_SCHEMA}>>>"
+    )
+    return raw.select(
+        F.col("value").alias("raw"), F.explode(events).alias("event")
+    )
+
+
+def read_length_delimited(
+    spark: SparkSession, path: str, encoding: str = "utf-8"
+) -> DataFrame:
+    """LengthDelimited framing (decoding/mod.rs:93-94): frames
+    prefixed by an unsigned big-endian u32 length, over arbitrary
+    binary files. binaryFile scan + an Arrow mapInPandas slicer —
+    payload bytes never hit the driver; each file slices inside its
+    partition. Returns (path, frame_idx, payload)."""
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def slice_frames(batches):
+        for pdf in batches:
+            out = {"path": [], "frame_idx": [], "payload": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                i, idx = 0, 0
+                while i + 4 <= len(buf):
+                    n = int.from_bytes(buf[i : i + 4], "big")
+                    frame = buf[i + 4 : i + 4 + n]
+                    if len(frame) < n:
+                        break  # truncated trailing frame: drop (framing error)
+                    out["path"].append(p)
+                    out["frame_idx"].append(idx)
+                    out["payload"].append(frame.decode(encoding, errors="replace"))
+                    i += 4 + n
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(
+        slice_frames, "path string, frame_idx long, payload string"
+    )
+
+
+def read_octet_counting(
+    spark: SparkSession, path: str, encoding: str = "utf-8"
+) -> DataFrame:
+    """OctetCounting framing (RFC 6587 §3.4.1; decoding/mod.rs:105-115):
+    ASCII decimal length, one space, then that many payload bytes.
+    Same binaryFile + mapInPandas shape as length-delimited."""
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def slice_frames(batches):
+        for pdf in batches:
+            out = {"path": [], "frame_idx": [], "payload": []}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                i, idx = 0, 0
+                while i < len(buf):
+                    j = i
+                    while j < len(buf) and buf[j : j + 1].isdigit():
+                        j += 1
+                    if j == i or j >= len(buf) or buf[j : j + 1] != b" ":
+                        break  # not a valid octet-counting prefix
+                    n = int(buf[i:j])
+                    frame = buf[j + 1 : j + 1 + n]
+                    if len(frame) < n:
+                        break
+                    out["path"].append(p)
+                    out["frame_idx"].append(idx)
+                    out["payload"].append(frame.decode(encoding, errors="replace"))
+                    i = j + 1 + n
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(
+        slice_frames, "path string, frame_idx long, payload string"
+    )
+
+
 def encode_json(cols: list[str] | None = None) -> Column:
     """json serializer: struct of named columns -> one JSON line."""
     return F.to_json(F.struct(*[F.col(c) for c in (cols or [])]))
