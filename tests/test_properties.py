@@ -69,7 +69,9 @@ def test_grok_all_primitives_compile_both_flavors():
     for name in GROK_PATTERNS:
         for flavor in ("python", "java"):
             regex, fields = grok_to_regex(f"a %{{{name}:x}} b", flavor=flavor)
-            assert fields == ["x"]
+            # composites (COMMONAPACHELOG etc.) legitimately surface
+            # their internal named captures after the outer name
+            assert fields[0] == "x"
             if flavor == "python":
                 re.compile(regex)
 

@@ -29,36 +29,98 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-# subset of the standard grok pattern library (public grok syntax)
+# Standard grok pattern library (public grok syntax; definitions may
+# reference other patterns with %{NAME} — expansion is recursive).
+# Some multi-alternative upstream definitions (QS, PATH, URI) are
+# re-derived in a backtracking-safe python/RE2-compatible form (no
+# atomic groups / possessive quantifiers).
 GROK_PATTERNS: dict[str, str] = {
     "WORD": r"\w+",
     "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
     "DATA": r".*?",
     "GREEDYDATA": r".*",
     "INT": r"[+-]?\d+",
     "POSINT": r"\d+",
+    "NONNEGINT": r"\d+",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
     "NUMBER": r"[+-]?\d+(?:\.\d+)?",
-    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "IPV4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "IPV6": r"[0-9a-fA-F:]{2,39}(?:%\w+)?",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
+    "IPORHOST": r"(?:%{IPV4}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER": r"(?:%{EMAILADDRESS}|%{USER}|-)",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "MAC": r"(?:[A-Fa-f0-9]{2}[:-]){5}[A-Fa-f0-9]{2}",
+    "QUOTEDSTRING": r"(?:\"(?:\\.|[^\\\"])*\"|'(?:\\.|[^\\'])*'|`(?:\\.|[^\\`])*`)",
+    "QS": r"%{QUOTEDSTRING}",
+    "UNIXPATH": r"(?:/[\w.$%+~-]*)+",
+    "WINPATH": r"(?:[A-Za-z]:|\\)(?:\\[^\\?*]*)+",
+    "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
+    "TTY": r"/dev/(?:pts|tty[pq]?)\w*",
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]+",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\|\^\-\[\]<>]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "DATESTAMP": r"(?:%{DATE_US}|%{DATE_EU})[- ]%{TIME}",
     "LOGLEVEL": r"(?:DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|TRACE|debug|info|warn(?:ing)?|error|fatal|trace)",
     "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
     "SYSLOGTIMESTAMP": r"\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}",
+    # composites (standard grok apache patterns; NUMBER for status and
+    # the (NUMBER|-) bytes alternative per upstream COMMONAPACHELOG)
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} '
+        r'\[%{HTTPDATE:timestamp}\] '
+        r'"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
+        r'%{NUMBER:response} (?:%{NUMBER:bytes}|-)'
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
 }
 
-_CAPTURE = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+# %{SYNTAX}, %{SYNTAX:name}, or %{SYNTAX:name:filter} — the 3rd
+# segment is the Datadog grok filter (:integer, :number,
+# :nullIf("-"), :lowercase, ... lib/datadog/grok/src/filters/)
+_CAPTURE = re.compile(r"%\{(\w+)(?::(\w+))?(?::([^}]+))?\}")
+
+_MAX_DEPTH = 20
 
 
 def grok_to_regex(pattern: str, flavor: str = "python") -> tuple[str, list[str]]:
     """Compile a grok pattern to (regex_with_named_groups, field_names).
 
-    Literal text between captures is regex-escaped. Unnamed captures
-    (%{INT}) match without capturing. flavor: 'python' emits
-    (?P<name>...), 'java' emits (?<name>...) and avoids escaping
-    characters Java's Pattern rejects escaped (e.g. a space).
+    Pattern references expand RECURSIVELY (composites like
+    %{COMBINEDAPACHELOG} carry named captures in their definitions);
+    field names are collected in group-appearance order, which is what
+    lets the java flavor address them by group index. Literal text is
+    regex-escaped. Unnamed captures match without capturing. flavor:
+    'python' emits (?P<name>...), 'java' emits plain numbered groups
+    and avoids escaping characters Java's Pattern rejects escaped.
+    Filters (3rd segment) are IGNORED here — grok_extract_typed applies
+    them as typed Column post-processing.
     """
     fields: list[str] = []
-    out: list[str] = []
-    pos = 0
 
     def esc(lit: str) -> str:
         if flavor == "java":
@@ -67,23 +129,138 @@ def grok_to_regex(pattern: str, flavor: str = "python") -> tuple[str, list[str]]
             return re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\1", lit)
         return re.escape(lit)
 
+    def expand(pat: str, depth: int, escape_literals: bool) -> str:
+        if depth > _MAX_DEPTH:
+            raise ValueError("grok expansion too deep (cycle?)")
+        out: list[str] = []
+        pos = 0
+        for m in _CAPTURE.finditer(pat):
+            lit = pat[pos : m.start()]
+            out.append(esc(lit) if escape_literals else lit)
+            syntax, name = m.group(1), m.group(2)
+            if syntax not in GROK_PATTERNS:
+                raise ValueError(f"unknown grok syntax %{{{syntax}}}")
+            # definitions are regex fragments: literals inside them are
+            # already regex syntax, don't re-escape. The OUTER name is
+            # appended before expanding the definition: group indices
+            # follow '(' appearance order (the outer group's paren
+            # precedes any nested composite captures), and the java
+            # flavor addresses groups by that index.
+            if name:
+                fields.append(name)
+                sub = expand(GROK_PATTERNS[syntax], depth + 1, False)
+                group = (
+                    f"(?P<{name}>{sub})" if flavor == "python" else f"({sub})"
+                )
+                out.append(group)
+            else:
+                sub = expand(GROK_PATTERNS[syntax], depth + 1, False)
+                out.append(f"(?:{sub})")
+            pos = m.end()
+        tail = pat[pos:]
+        out.append(esc(tail) if escape_literals else tail)
+        return "".join(out)
+
+    return expand(pattern, 0, True), fields
+
+
+def grok_filters(pattern: str) -> dict[str, str]:
+    """Extract the Datadog-style per-field filters from a grok pattern:
+    {'status': 'integer', 'bytes': 'nullIf("-")', ...}."""
+    out: dict[str, str] = {}
     for m in _CAPTURE.finditer(pattern):
-        out.append(esc(pattern[pos : m.start()]))
-        syntax, name = m.group(1), m.group(2)
-        if syntax not in GROK_PATTERNS:
-            raise ValueError(f"unknown grok syntax %{{{syntax}}}")
-        sub = GROK_PATTERNS[syntax]
-        if name:
-            # java flavor: plain numbered groups — Java group names
-            # forbid '_' and regexp_extract addresses groups by index.
-            group = f"(?P<{name}>{sub})" if flavor == "python" else f"({sub})"
-            out.append(group)
-            fields.append(name)
-        else:
-            out.append(f"(?:{sub})")
-        pos = m.end()
-    out.append(esc(pattern[pos:]))
-    return "".join(out), fields
+        name, filt = m.group(2), m.group(3)
+        if name and filt:
+            out[name] = filt
+    return out
+
+
+_NULLIF_RX = re.compile(r'^nullIf\(\s*"((?:\\.|[^"])*)"\s*\)$')
+_SCALE_RX = re.compile(r"^scale\(\s*([0-9.eE+-]+)\s*\)$")
+
+
+def apply_grok_filter(col: Column, filt: str) -> Column:
+    """Datadog grok filters (lib/datadog/grok/src/filters/) as Column
+    post-processing over the extracted string: integer, number,
+    boolean, nullIf("v"), scale(x), lowercase, uppercase."""
+    if filt == "integer":
+        return col.try_cast("bigint")
+    if filt == "number":
+        return col.try_cast("double")
+    if filt == "boolean":
+        return F.lower(col) == "true"
+    if filt == "lowercase":
+        return F.lower(col)
+    if filt == "uppercase":
+        return F.upper(col)
+    m = _NULLIF_RX.match(filt)
+    if m:
+        return F.nullif(col, F.lit(m.group(1)))
+    m = _SCALE_RX.match(filt)
+    if m:
+        return col.try_cast("double") * float(m.group(1))
+    raise ValueError(f"unsupported grok filter {filt!r}")
+
+
+def grok_extract_typed(
+    col: Column, grok_pattern: str, engine: str = "native", anchored: bool = True
+) -> Column:
+    """%{SYNTAX:name:filter} patterns -> struct with the filters
+    applied as typed Columns (parity: Datadog grok's filter chain,
+    applied after the regex match like the reference's
+    apply_filter)."""
+    filters = grok_filters(grok_pattern)
+    base = (
+        grok_extract_native(col, grok_pattern, anchored=anchored)
+        if engine == "native"
+        else grok_extract_pandas(col, grok_pattern, anchored=anchored)
+    )
+    _, fields = grok_to_regex(grok_pattern)
+    parts = []
+    for f in fields:
+        v = base[f]
+        if f in filters:
+            v = apply_grok_filter(v, filters[f])
+        parts.append(v.alias(f))
+    return F.struct(*parts)
+
+
+def parse_groks_pandas(col: Column, grok_patterns: list[str]) -> Column:
+    """VRL parse_groks (lib/vrl/stdlib/src/parse_groks.rs): try each
+    pattern IN ORDER, first match wins. One Arrow crossing total: a
+    single pandas UDF walks the pattern list per batch, extracting
+    only over still-unmatched rows (the common case resolves on the
+    first pattern, so later regexes see shrinking inputs). Output is
+    the union of all patterns' fields; unmatched rows are all-NULL."""
+    compiled = []
+    all_fields: list[str] = []
+    for p in grok_patterns:
+        rx, fields = grok_to_regex(p)
+        compiled.append((re.compile(f"^{rx}$"), fields))
+        for f in fields:
+            if f not in all_fields:
+                all_fields.append(f)
+    schema = T.StructType([T.StructField(f, T.StringType()) for f in all_fields])
+
+    def extract(s: pd.Series) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {f: pd.Series([None] * len(s), index=s.index, dtype=object) for f in all_fields}
+        )
+        remaining = s.notna()
+        for rx, fields in compiled:
+            if not remaining.any():
+                break
+            sub = s[remaining]
+            matched = sub.str.match(rx).fillna(False)
+            if not matched.any():
+                continue
+            hit = sub[matched].str.extract(rx)
+            for f in fields:
+                out.loc[hit.index, f] = hit[f].where(pd.notna(hit[f]), None)
+            remaining.loc[hit.index] = False
+        return out
+
+    return pandas_udf(extract, schema).asNondeterministic()(col)
 
 
 def grok_extract_pandas(col: Column, grok_pattern: str, anchored: bool = True) -> Column:

@@ -1319,6 +1319,79 @@ GROUP BY 1
 """
 
 
+def q_op_parse_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """%{COMBINEDAPACHELOG} composite grok (standard grok library;
+    Datadog grok engine lib/datadog/grok/): events rendered as
+    combined access-log lines, parsed back via the recursive-composite
+    pattern with typed filter post-processing (apply_grok_filter
+    integer casts). The '-' bytes case exerces the (NUMBER|-)
+    alternative -> NULL bytes."""
+    from vector_spark.functions.grok import apply_grok_filter, grok_extract_native
+
+    ev = _tbl(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("10."),
+        F.pmod("user_id", F.lit(200)).cast("string"),
+        F.lit("."),
+        F.pmod("event_id", F.lit(200)).cast("string"),
+        F.lit(".7"),
+    )
+    status = (F.lit(200) + F.pmod("event_id", F.lit(4)) * 100).cast("int")
+    bytes_s = F.when(
+        F.pmod("event_id", F.lit(10)) == 0, F.lit("-")
+    ).otherwise(F.round("value").cast("bigint").cast("string"))
+    line = F.concat(
+        ip,
+        F.lit(" - u"),
+        F.pmod("user_id", F.lit(100)).cast("string"),
+        F.lit(" ["),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss Z"),
+        F.lit('] "GET /'),
+        F.col("event_type"),
+        F.lit("?id="),
+        F.col("event_id").cast("string"),
+        F.lit(' HTTP/1.1" '),
+        status.cast("string"),
+        F.lit(" "),
+        bytes_s,
+        F.lit(' "http://ref.example/'),
+        F.col("event_type"),
+        F.lit('" "agent/'),
+        F.pmod("event_id", F.lit(5)).cast("string"),
+        F.lit('"'),
+    )
+    g = grok_extract_native(line, "%{COMBINEDAPACHELOG}")
+    return ev.select(
+        "event_id",
+        g["clientip"].alias("clientip"),
+        g["auth"].alias("auth"),
+        g["timestamp"].alias("tstxt"),
+        g["verb"].alias("verb"),
+        g["request"].alias("request"),
+        apply_grok_filter(g["response"], "integer").alias("status"),
+        apply_grok_filter(g["bytes"], "integer").alias("bytes"),
+        g["referrer"].alias("referrer"),
+        g["agent"].alias("agent"),
+    )
+
+
+SQL_OP_PARSE_COMBINED = """
+SELECT event_id,
+       concat('10.', CAST(user_id % 200 AS VARCHAR), '.',
+              CAST(event_id % 200 AS VARCHAR), '.7') AS clientip,
+       concat('u', CAST(user_id % 100 AS VARCHAR)) AS auth,
+       strftime(ts, '%d/%b/%Y:%H:%M:%S +0000') AS tstxt,
+       'GET' AS verb,
+       concat('/', event_type, '?id=', CAST(event_id AS VARCHAR)) AS request,
+       CAST(200 + (event_id % 4) * 100 AS BIGINT) AS status,
+       CASE WHEN event_id % 10 = 0 THEN NULL
+            ELSE CAST(round(value) AS BIGINT) END AS bytes,
+       concat('"http://ref.example/', event_type, '"') AS referrer,
+       concat('"agent/', CAST(event_id % 5 AS VARCHAR), '"') AS agent
+FROM events
+"""
+
+
 def q_op_decode_gelf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GELF codec round trip (lib/codecs/src/decoding/format/gelf.rs):
     events rendered as GELF JSON lines, then decoded through the gelf
@@ -1693,6 +1766,7 @@ QUERIES = {
     "op_log_to_metric_histogram": q_op_log_to_metric_histogram,
     "op_agg_set": q_op_agg_set,
     "op_decode_gelf": q_op_decode_gelf,
+    "op_parse_combined": q_op_parse_combined,
     "op_cardinality": q_op_cardinality,
     "op_line_agg": q_op_line_agg,
     "op_enrich_dim": q_op_enrich_dim,
@@ -1754,6 +1828,7 @@ ORACLES = {
     "op_log_to_metric_histogram": SQL_OP_LOG_TO_METRIC_HISTOGRAM,
     "op_agg_set": SQL_OP_AGG_SET,
     "op_decode_gelf": SQL_OP_DECODE_GELF,
+    "op_parse_combined": SQL_OP_PARSE_COMBINED,
     "op_cardinality": SQL_OP_CARDINALITY,
     "op_line_agg": SQL_OP_LINE_AGG,
     "op_enrich_dim": SQL_OP_ENRICH_DIM,
