@@ -81,6 +81,12 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_exact_dedup",
         "dp_clean_corpus",
         "op_agg_salted",
+        # round 2 additions (absent from BENCH_r01 by definition)
+        "op_sample_counter",
+        "dp_cosine_near_dup_bucketed",
+        "op_agg_histogram",
+        "op_parse_combined",
+        "op_route_ddsearch",
     ]
     for name in secondary:
         fn = QUERIES[name]

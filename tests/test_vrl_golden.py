@@ -17,6 +17,9 @@ Functions with golden parity here (4x: file citation in each case):
   parse_logfmt parse_json parse_csv parse_regex parse_regex_all
   parse_tokens parse_url to_syslog_level to_syslog_severity
   format_timestamp parse_timestamp strip_ansi_escape_codes
+  ip_aton ip_ntoa ip_cidr_contains ip_subnet ip_to_ipv6 ipv6_to_ipv4
+  sha3 decode_mime_q parse_query_string format_int to_syslog_facility
+  chunks tally tally_value find
 
 Documented dialect divergences (asserted with translated inputs):
   * regex patterns/replacements are Java-dialect ((?<g>..)/$1) not
@@ -280,6 +283,81 @@ CASES = [
         lambda: _fn("parse_timestamp")(L("11-Feb-2021 16:00 +00:00"), "dd-MMM-yyyy HH:mm XXX"),
         datetime.datetime(2021, 2, 11, 16, 0),
     ),
+    # ip_aton.rs / ip_ntoa.rs / ip_cidr_contains.rs / ip_subnet.rs /
+    # ip_to_ipv6.rs / ipv6_to_ipv4.rs (IPv4 JVM-side paths)
+    ("ip_aton", lambda: _fn("ip_aton")(L("1.2.3.4")), 16909060),
+    ("ip_aton_bad", lambda: _fn("ip_aton")(L("999.2.3.4")), None),
+    ("ip_ntoa", lambda: _fn("ip_ntoa")(L(16909060)), "1.2.3.4"),
+    (
+        "ip_cidr_in",
+        lambda: _fn("ip_cidr_contains")(L("192.168.0.0/16"), L("192.168.0.1")),
+        True,
+    ),
+    (
+        "ip_cidr_out",
+        lambda: _fn("ip_cidr_contains")(L("192.168.0.0/24"), L("192.168.10.32")),
+        False,
+    ),
+    ("ip_subnet", lambda: _fn("ip_subnet")(L("192.168.0.1"), L("/1")), "128.0.0.0"),
+    ("ip_to_ipv6", lambda: _fn("ip_to_ipv6")(L("192.168.0.1")), "::ffff:192.168.0.1"),
+    (
+        "ipv6_to_ipv4",
+        lambda: _fn("ipv6_to_ipv4")(L("::ffff:192.168.0.1")),
+        "192.168.0.1",
+    ),
+    # sha3.rs (default SHA3-512 — the standard digest, so hashlib's
+    # value IS the reference's expected string)
+    (
+        "sha3",
+        lambda: _fn("sha3")(L("foobar")),
+        __import__("hashlib").sha3_512(b"foobar").hexdigest(),
+    ),
+    # decode_mime_q.rs
+    (
+        "decode_mime_q_b",
+        lambda: _fn("decode_mime_q")(L("=?utf-8?b?SGVsbG8sIFdvcmxkIQ==?=")),
+        "Hello, World!",
+    ),
+    (
+        "decode_mime_q_embedded",
+        lambda: _fn("decode_mime_q")(
+            L(
+                "From: =?utf-8?b?SGVsbG8sIFdvcmxkIQ==?= "
+                "<=?utf-8?q?hello=5Fworld=40example=2ecom?=>"
+            )
+        ),
+        "From: Hello, World! <hello_world@example.com>",
+    ),
+    # parse_query_string.rs
+    (
+        "parse_query_string",
+        lambda: _fn("parse_query_string")(L("foo=1&bar=2")),
+        {"foo": "1", "bar": "2"},
+    ),
+    # format_int.rs (sign-preserving)
+    ("format_int", lambda: _fn("format_int")(L(42), 16), "2a"),
+    ("format_int_neg", lambda: _fn("format_int")(L(-42), 16), "-2a"),
+    # to_syslog_facility.rs
+    ("to_syslog_facility", lambda: _fn("to_syslog_facility")(L(0)), "kern"),
+    ("to_syslog_facility_bad", lambda: _fn("to_syslog_facility")(L(500)), None),
+    # chunks.rs (character chunks; byte slicing documented divergence)
+    ("chunks", lambda: _fn("chunks")(L("abcdefgh"), 4), ["abcd", "efgh"]),
+    # tally.rs / tally_value.rs
+    (
+        "tally",
+        lambda: _fn("tally")(F.array(L("foo"), L("bar"), L("foo"), L("baz"))),
+        {"foo": 2, "bar": 1, "baz": 1},
+    ),
+    (
+        "tally_value",
+        lambda: _fn("tally_value")(
+            F.array(L("foo"), L("bar"), L("foo"), L("baz")), "foo"
+        ),
+        2,
+    ),
+    # find.rs
+    ("find_hit", lambda: _fn("find")(L("foobar"), "bar"), 3),
+    ("find_miss", lambda: _fn("find")(L("foobar"), "xyz"), -1),
     # lib/vrl/tests/tests/expressions/function_call/positional_argument.vrl
     (
         "corpus_sha1_positional",
@@ -346,4 +424,4 @@ def test_registry_counts_hold():
 
     s = coverage_summary()
     assert s["total"] == 143
-    assert s["with_callable"] >= 61
+    assert s["with_callable"] >= 96

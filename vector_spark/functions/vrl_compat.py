@@ -139,6 +139,215 @@ def is_nullish(col: Column) -> Column:
     return col.isNull() | F.trim(col).isin("", "-")
 
 
+# --- IPv4 math (ip_*.rs family; dotted-quad paths JVM-side) ------------------
+
+_IPV4_RX = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+
+
+def ip_aton(col: Column) -> Column:
+    """ip_aton.rs: IPv4 dotted quad -> numeric (network byte order).
+    Invalid input -> NULL (the fallible branch)."""
+    ok = col.rlike(_IPV4_RX)
+    parts = F.split(col, r"\.")
+    octs = [F.element_at(parts, i + 1).cast("bigint") for i in range(4)]
+    valid = ok
+    for o in octs:
+        valid = valid & (o <= 255)
+    num = octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
+    return F.when(valid, num)
+
+
+def ip_ntoa(col: Column) -> Column:
+    """ip_ntoa.rs: numeric -> IPv4 dotted quad."""
+    n = col.cast("bigint")
+    return F.when(
+        (n >= 0) & (n <= 4294967295),
+        F.concat_ws(
+            ".",
+            F.shiftright(n, 24).bitwiseAND(F.lit(255)).cast("string"),
+            F.shiftright(n, 16).bitwiseAND(F.lit(255)).cast("string"),
+            F.shiftright(n, 8).bitwiseAND(F.lit(255)).cast("string"),
+            n.bitwiseAND(F.lit(255)).cast("string"),
+        ),
+    )
+
+
+def _cidr_mask(bits: Column) -> Column:
+    """/bits -> 32-bit netmask as bigint (bits==0 -> 0). shiftleft
+    only takes a literal shift count, so the column-valued 2^(32-b)
+    goes through pow (exact in doubles up to 2^53)."""
+    full = F.lit(4294967295)
+    low = F.pow(F.lit(2.0), (F.lit(32) - bits).cast("double")).cast("bigint") - 1
+    return F.when(bits <= 0, 0).when(bits >= 32, full).otherwise(full - low)
+
+
+def ip_cidr_contains(cidr: Column, ip: Column) -> Column:
+    """ip_cidr_contains.rs (IPv4): ip inside 'a.b.c.d/len'. NULL when
+    either side fails to parse (callers coalesce per their error
+    policy, matching the fallible !)."""
+    base = F.substring_index(cidr, "/", 1)
+    bits = F.substring_index(cidr, "/", -1).try_cast("int")
+    mask = _cidr_mask(bits)
+    return (ip_aton(ip).bitwiseAND(mask)) == (ip_aton(base).bitwiseAND(mask))
+
+
+def ip_subnet(ip: Column, mask: Column) -> Column:
+    """ip_subnet.rs (IPv4): apply '/len' or dotted netmask -> network
+    address string."""
+    bits = F.when(
+        mask.startswith("/"), F.substring(mask, 2, 2).try_cast("int")
+    )
+    m = F.coalesce(_cidr_mask(bits), ip_aton(mask))
+    return ip_ntoa(ip_aton(ip).bitwiseAND(m))
+
+
+def ip_to_ipv6(col: Column) -> Column:
+    """ip_to_ipv6.rs: v4 -> v4-mapped v6 '::ffff:a.b.c.d'; v6 input
+    passes through."""
+    is_v4 = col.rlike(_IPV4_RX)
+    return F.when(is_v4, F.concat(F.lit("::ffff:"), col)).otherwise(col)
+
+
+def ipv6_to_ipv4(col: Column) -> Column:
+    """ipv6_to_ipv4.rs: '::ffff:a.b.c.d' -> 'a.b.c.d'; plain v4 passes
+    through; non-mapped v6 -> NULL (reference errors)."""
+    is_v4 = col.rlike(_IPV4_RX)
+    mapped = F.lower(col).startswith("::ffff:")
+    return F.when(is_v4, col).when(mapped, F.substring(col, 8, 2_000_000))
+
+
+# --- misc string/url ---------------------------------------------------------
+
+
+def parse_query_string(col: Column) -> Column:
+    """parse_query_string.rs: 'foo=1&bar=2' -> map<string,string>,
+    percent-decoded; a leading '?' is tolerated; keys without '='
+    get ''."""
+    q = F.when(col.startswith("?"), F.substring(col, 2, 2_000_000)).otherwise(col)
+    pairs = F.filter(F.split(q, "&"), lambda p: F.length(p) > 0)
+    entries = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.url_decode(F.substring_index(p, "=", 1)).alias("key"),
+            F.url_decode(
+                F.when(F.instr(p, "=") > 0, F.substr(p, F.instr(p, "=") + 1)).otherwise(
+                    F.lit("")
+                )
+            ).alias("value"),
+        ),
+    )
+    return F.map_from_entries(entries)
+
+
+def format_int(col: Column, base: int) -> Column:
+    """format_int.rs: integer -> string in `base`; negatives keep the
+    sign (F.conv alone would two's-complement them)."""
+    n = col.cast("bigint")
+    mag = F.lower(F.conv(F.abs(n).cast("string"), 10, base))
+    return F.when(n < 0, F.concat(F.lit("-"), mag)).otherwise(mag)
+
+
+def chunks_str(col: Column, n: int) -> Column:
+    """chunks.rs over strings: split into <=n-CHAR chunks (the
+    reference slices bytes; documented divergence — character slicing
+    is the sane unicode-safe Spark form)."""
+    k = F.ceil(F.length(col) / F.lit(n)).cast("int")
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.substring(col, i * n + 1, n))
+
+
+def tally(col: Column) -> Column:
+    """tally.rs: array<string> -> map<value, count>. aggregate HOF —
+    no explode, no shuffle."""
+    return F.aggregate(
+        col,
+        F.create_map().cast("map<string,bigint>"),
+        lambda acc, x: F.map_concat(
+            F.map_filter(acc, lambda k, v: k != x),
+            F.create_map(x, F.coalesce(F.element_at(acc, x), F.lit(0)) + 1),
+        ),
+    )
+
+
+def tally_value(col: Column, value) -> Column:
+    """tally_value.rs: occurrences of `value` in the array."""
+    return F.size(F.filter(col, lambda x: x == value)).cast("bigint")
+
+
+def find(col: Column, substring: str) -> Column:
+    """find.rs: 0-based index of first occurrence, -1 when absent."""
+    pos = F.instr(col, substring)
+    return F.when(pos > 0, pos - 1).otherwise(F.lit(-1)).cast("bigint")
+
+
+# --- crypto/codec UDF leaves (no JVM builtin; Arrow-vectorized) --------------
+
+
+def sha3(col: Column, variant: str = "SHA3-512") -> Column:
+    """sha3.rs: SHA3 digests (default variant SHA3-512, like the
+    reference). No JVM builtin -> one Arrow pandas UDF."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    algo = {
+        "SHA3-224": hashlib.sha3_224,
+        "SHA3-256": hashlib.sha3_256,
+        "SHA3-384": hashlib.sha3_384,
+        "SHA3-512": hashlib.sha3_512,
+    }[variant]
+
+    @pandas_udf("string")
+    def h(s):  # pd.Series -> pd.Series
+        return pd.Series(
+            [None if v is None else algo(str(v).encode()).hexdigest() for v in s]
+        )
+
+    return h(col)
+
+
+def decode_mime_q(col: Column) -> Column:
+    """decode_mime_q.rs: RFC 2047 encoded-words ('=?utf-8?b?...?=' /
+    '?q?...') -> decoded text, embedded words decoded in place.
+    Pure-stdlib python (email.header) behind one Arrow pandas UDF."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def dec(s):  # pd.Series -> pd.Series
+        import base64
+        import quopri
+        import re as _re
+
+        word = _re.compile(r"=?\?([^?]*)\?([bBqQ])\?([^?]*)\?=?")
+
+        def one(v):
+            if v is None:
+                return None
+
+            def sub(m):
+                charset = m.group(1) or "utf-8"
+                enc, payload = m.group(2).lower(), m.group(3)
+                try:
+                    raw = (
+                        base64.b64decode(payload + "=" * (-len(payload) % 4))
+                        if enc == "b"
+                        else quopri.decodestring(payload.replace("_", " "))
+                    )
+                    return raw.decode(charset, errors="replace")
+                except Exception:
+                    return m.group(0)
+
+            return word.sub(sub, v)
+
+        return pd.Series([one(v) for v in s])
+
+    return dec(col)
+
+
 # --- syslog ------------------------------------------------------------------
 
 _SYSLOG_LEVELS = [
@@ -161,3 +370,20 @@ def to_syslog_severity(level: Column) -> Column:
     for i, name in enumerate(_SYSLOG_LEVELS[1:], start=1):
         out = out.when(F.lower(level) == name, i)
     return out.otherwise(F.lit(None).cast("int"))
+
+
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+
+
+def to_syslog_facility(code: Column) -> Column:
+    """to_syslog_facility.rs: facility code 0-23 -> keyword; out of
+    range -> NULL (the fallible branch)."""
+    out = F.when(code == 0, _SYSLOG_FACILITIES[0])
+    for i, name in enumerate(_SYSLOG_FACILITIES[1:], start=1):
+        out = out.when(code == i, name)
+    return out.otherwise(F.lit(None).cast("string"))

@@ -70,7 +70,7 @@ VRL: dict[str, VrlFn] = {
     "parse_duration": VrlFn("compose", "vrl_compat.parse_duration", V.parse_duration),
     "parse_int": VrlFn("compose", "vrl_compat.parse_int (F.conv)", V.parse_int),
     "parse_url": VrlFn("compose", "vrl_compat.parse_url (F.parse_url)", V.parse_url),
-    "parse_query_string": VrlFn("native", "F.parse_url(col, 'QUERY') + str_to_map", None),
+    "parse_query_string": VrlFn("compose", "vrl_compat.parse_query_string (split + url_decode -> map)", V.parse_query_string),
     "parse_apache_log": VrlFn("compose", "presets.parse_apache_log (typed CLF struct)", parse_apache_log),
     "parse_common_log": VrlFn("compose", "presets.parse_common_log", parse_common_log),
     "parse_nginx_log": VrlFn("compose", "presets.parse_nginx_log (combined format struct)", parse_nginx_log),
@@ -101,27 +101,27 @@ VRL: dict[str, VrlFn] = {
     "strip_whitespace": VrlFn("compose", "vrl_compat.strip_whitespace (all-whitespace trim; F.trim only strips spaces)", V.strip_whitespace),
     "strip_ansi_escape_codes": VrlFn("compose", "vrl_compat.strip_ansi_escape_codes", V.strip_ansi_escape_codes),
     "truncate": VrlFn("compose", "vrl_compat.truncate", V.truncate),
-    "find": VrlFn("native", "F.instr / F.regexp_instr", None),
+    "find": VrlFn("compose", "vrl_compat.find (0-based, -1 miss)", V.find),
     "match": VrlFn("native", "Column.rlike", lambda c, r: c.rlike(r)),
-    "match_any": VrlFn("native", "OR of rlikes", None),
-    "match_array": VrlFn("native", "F.exists(arr, x -> x.rlike(r))", None),
-    "match_datadog_query": VrlFn("scope", "Datadog search DSL out of scope (COVERAGE.md §2.2); predicates are Columns", None),
+    "match_any": VrlFn("compose", "OR of rlikes", lambda c, rs: __import__("functools").reduce(lambda a, b: a | b, [c.rlike(r) for r in rs])),
+    "match_array": VrlFn("compose", "F.exists(arr, x -> x.rlike(r))", lambda c, r: F.exists(c, lambda x: x.rlike(r))),
+    "match_datadog_query": VrlFn("compose", "conditions.datadog_search.dd_query(query, df) — full query->Column compiler (takes the DataFrame for schema resolution, not a single column)", None),
     "redact": VrlFn("compose", "vrl_compat.redact", V.redact),
-    "chunks": VrlFn("udf", "pandas UDF (or sequence+substring transform)", None),
+    "chunks": VrlFn("compose", "vrl_compat.chunks_str (sequence+substring transform; chars not bytes — documented)", V.chunks_str),
     "reverse_dns": VrlFn("scope", "network lookup; env-dependent", None),
     # --- codecs / crypto -------------------------------------------------
     "encode_base64": VrlFn("compose", "vrl_compat.encode_base64", V.encode_base64),
     "decode_base64": VrlFn("compose", "vrl_compat.decode_base64", V.decode_base64),
     "encode_json": VrlFn("native", "F.to_json(struct)", None),
-    "encode_key_value": VrlFn("compose", "codecs.encode_kv_map / encode_logfmt", None),
-    "encode_logfmt": VrlFn("compose", "codecs.encode_logfmt", None),
+    "encode_key_value": VrlFn("compose", "codecs.encode_kv_map", lambda m: __import__("vector_spark.sources.codecs", fromlist=["encode_kv_map"]).encode_kv_map(m)),
+    "encode_logfmt": VrlFn("compose", "codecs.encode_kv_map (sorted k=v; logfmt form)", lambda m: __import__("vector_spark.sources.codecs", fromlist=["encode_kv_map"]).encode_kv_map(m)),
     "encode_percent": VrlFn("compose", "vrl_compat.encode_percent (F.url_encode)", V.encode_percent),
     "decode_percent": VrlFn("compose", "vrl_compat.decode_percent (F.url_decode)", V.decode_percent),
-    "decode_mime_q": VrlFn("scope", "MIME encoded-word decode; UDF at need", None),
+    "decode_mime_q": VrlFn("udf", "vrl_compat.decode_mime_q (RFC2047, stdlib quopri/base64 via Arrow UDF)", V.decode_mime_q),
     "md5": VrlFn("native", "F.md5", F.md5),
     "sha1": VrlFn("native", "F.sha1", F.sha1),
     "sha2": VrlFn("native", "F.sha2", F.sha2),
-    "sha3": VrlFn("scope", "no JVM builtin; UDF at need", None),
+    "sha3": VrlFn("udf", "vrl_compat.sha3 (hashlib sha3, Arrow pandas UDF; default SHA3-512)", V.sha3),
     "encrypt": VrlFn("native", "F.aes_encrypt (Spark 3.3+)", None),
     "decrypt": VrlFn("native", "F.aes_decrypt", None),
     "random_bytes": VrlFn("scope", "nondeterministic by design; F.rand-seeded UDF at need", None),
@@ -131,7 +131,7 @@ VRL: dict[str, VrlFn] = {
     "round": VrlFn("native", "F.round", F.round),
     "mod_func": VrlFn("native", "F.pmod / %", F.pmod),
     "log": VrlFn("driver", "VRL log() emits to the host's log (side effect, returns null); Spark analogue is df.observe / log4j, not a Column fn", None),
-    "format_int": VrlFn("native", "F.conv(n, 10, base)", None),
+    "format_int": VrlFn("compose", "vrl_compat.format_int (sign-preserving F.conv)", V.format_int),
     "format_number": VrlFn("native", "F.format_number", F.format_number),
     # --- type conversion / introspection ---------------------------------
     "to_bool": VrlFn("compose", "vrl_compat.to_bool (yes/y/1-style coercions)", V.to_bool),
@@ -158,30 +158,30 @@ VRL: dict[str, VrlFn] = {
     "is_timestamp": VrlFn("driver", "schema-known constant per column", None),
     "is_json": VrlFn("native", "F.try_parse_json / from_json(...).isNotNull", None),
     "is_null": VrlFn("native", "Column.isNull", lambda c: c.isNull()),
-    "is_empty": VrlFn("native", "length(c)==0 / size(c)==0", None),
+    "is_empty": VrlFn("compose", "length(c)==0 (string form)", lambda c: F.length(c) == 0),
     "is_nullish": VrlFn("compose", "vrl_compat.is_nullish", V.is_nullish),
-    "is_ipv4": VrlFn("native", "rlike(ipv4 regex)", None),
+    "is_ipv4": VrlFn("compose", "rlike(ipv4 regex)", lambda c: c.rlike(r"^(\\d{1,3}\\.){3}\\d{1,3}$")),
     "is_ipv6": VrlFn("native", "rlike(ipv6 regex)", None),
     "tag_types_externally": VrlFn("native", "struct-wrap per type (to_json shape)", None),
     "type_def": VrlFn("driver", "VRL-internal type reflection == DataFrame schema", None),
     # --- collections / event paths ---------------------------------------
-    "append": VrlFn("native", "F.concat(arr, F.array(x)) / array_append", None),
-    "push": VrlFn("native", "F.array_append", None),
+    "append": VrlFn("native", "F.concat(arrays)", lambda a, b: F.concat(a, b)),
+    "push": VrlFn("native", "F.array_append", lambda a, x: F.array_append(a, x)),
     "compact": VrlFn("native", "F.array_compact / map_filter", F.array_compact),
     "flatten": VrlFn("native", "F.flatten", F.flatten),
     "includes": VrlFn("native", "F.array_contains", F.array_contains),
     "keys": VrlFn("native", "F.map_keys", F.map_keys),
     "values": VrlFn("native", "F.map_values", F.map_values),
-    "map_keys": VrlFn("native", "F.transform_keys", None),
-    "map_values": VrlFn("native", "F.transform_values", None),
-    "merge": VrlFn("native", "F.map_concat / struct rebuild", None),
-    "filter": VrlFn("native", "F.filter (higher-order)", None),
+    "map_keys": VrlFn("native", "F.transform_keys", lambda m, f: F.transform_keys(m, f)),
+    "map_values": VrlFn("native", "F.transform_values", lambda m, f: F.transform_values(m, f)),
+    "merge": VrlFn("native", "F.map_concat (deep=false shallow merge)", lambda a, b: F.map_concat(F.map_filter(a, lambda k, v: ~F.map_contains_key(b, k)), b)),
+    "filter": VrlFn("native", "F.filter (higher-order)", lambda c, f: F.filter(c, f)),
     "for_each": VrlFn("native", "F.transform / F.aggregate (bounded iteration)", None),
-    "map": VrlFn("native", "F.transform", None),
+    "map": VrlFn("native", "F.transform", lambda c, f: F.transform(c, f)),
     "unique": VrlFn("native", "F.array_distinct", F.array_distinct),
     "unnest": VrlFn("native", "F.explode (1->N rows)", F.explode),
-    "tally": VrlFn("native", "F.aggregate HOF / explode+groupBy", None),
-    "tally_value": VrlFn("native", "F.size(F.filter(arr, x -> x == v))", None),
+    "tally": VrlFn("compose", "vrl_compat.tally (aggregate HOF, no shuffle)", V.tally),
+    "tally_value": VrlFn("compose", "vrl_compat.tally_value", V.tally_value),
     "only_fields": VrlFn("path", "df.select(fields)", None),
     "remove": VrlFn("path", "df.drop / Column.dropFields", None),
     "del": VrlFn("path", "df.drop / Column.dropFields", None),
@@ -197,16 +197,16 @@ VRL: dict[str, VrlFn] = {
     "assert": VrlFn("native", "F.assert_true / F.raise_error (test-only)", None),
     "assert_eq": VrlFn("native", "F.assert_true(a == b)", None),
     # --- IP ---------------------------------------------------------------
-    "ip_aton": VrlFn("scope", "IP math; UDF at need", None),
-    "ip_ntoa": VrlFn("scope", "IP math; UDF at need", None),
-    "ip_cidr_contains": VrlFn("scope", "IP math; UDF at need", None),
-    "ip_subnet": VrlFn("scope", "IP math; UDF at need", None),
-    "ip_to_ipv6": VrlFn("scope", "IP math; UDF at need", None),
-    "ipv6_to_ipv4": VrlFn("scope", "IP math; UDF at need", None),
+    "ip_aton": VrlFn("compose", "vrl_compat.ip_aton (JVM split+shift, IPv4)", V.ip_aton),
+    "ip_ntoa": VrlFn("compose", "vrl_compat.ip_ntoa", V.ip_ntoa),
+    "ip_cidr_contains": VrlFn("compose", "vrl_compat.ip_cidr_contains (IPv4 mask compare)", V.ip_cidr_contains),
+    "ip_subnet": VrlFn("compose", "vrl_compat.ip_subnet (/len or dotted netmask)", V.ip_subnet),
+    "ip_to_ipv6": VrlFn("compose", "vrl_compat.ip_to_ipv6 (v4-mapped form)", V.ip_to_ipv6),
+    "ipv6_to_ipv4": VrlFn("compose", "vrl_compat.ipv6_to_ipv4 (v4-mapped unwrap)", V.ipv6_to_ipv4),
     "ip_ntop": VrlFn("scope", "IP math; UDF at need", None),
     "ip_pton": VrlFn("scope", "IP math; UDF at need", None),
     # --- syslog ----------------------------------------------------------
-    "to_syslog_facility": VrlFn("native", "CASE WHEN map (see presets.parse_syslog facility)", None),
+    "to_syslog_facility": VrlFn("compose", "vrl_compat.to_syslog_facility (code 0-23 -> keyword)", V.to_syslog_facility),
     "to_syslog_level": VrlFn("compose", "vrl_compat.to_syslog_level", V.to_syslog_level),
     "to_syslog_severity": VrlFn("compose", "vrl_compat.to_syslog_severity", V.to_syslog_severity),
 }
