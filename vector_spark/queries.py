@@ -1435,6 +1435,82 @@ FROM events
 """
 
 
+def q_op_decode_statsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """statsd codec round trip (src/sources/statsd/parser.rs): events
+    rendered as dogstatsd counter lines with sampling + tags, decoded
+    back. Counter semantics: value multiplies by 1/sample_rate."""
+    from vector_spark.sources.codecs import decode_statsd
+
+    ev = _tbl(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.round("value").cast("bigint").cast("string"),
+        F.lit("|c|@0.5|#user:"),
+        F.pmod("user_id", F.lit(10)).cast("string"),
+        F.lit(",prod"),
+    )
+    d = ev.select("event_id", decode_statsd(line).alias("m"))
+    return d.select(
+        "event_id",
+        F.col("m.name").alias("name"),
+        F.col("m.mtype").alias("mtype"),
+        F.col("m.kind").alias("kind"),
+        F.round("m.value", 6).alias("value"),
+        F.round("m.sample_rate", 6).alias("sample_rate"),
+        F.element_at("m.tags", "user").alias("tag_user"),
+        F.element_at("m.tags", "prod").alias("tag_prod"),
+    )
+
+
+SQL_OP_DECODE_STATSD = """
+SELECT event_id, event_type AS name, 'counter' AS mtype,
+       'incremental' AS kind,
+       round(CAST(round(value) AS BIGINT) * 2.0, 6) AS value,
+       2.0 AS sample_rate,
+       CAST(user_id % 10 AS VARCHAR) AS tag_user,
+       'true' AS tag_prod
+FROM events
+"""
+
+
+def q_op_decode_prometheus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus text-exposition decode (the format the reference's
+    prometheus sources consume): events rendered as sample lines with
+    labels + ms timestamps, decoded back."""
+    from vector_spark.sources.codecs import decode_prometheus_line
+
+    ev = _tbl(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"),
+        F.lit('{user="'),
+        F.pmod("user_id", F.lit(10)).cast("string"),
+        F.lit('",job="vector_spark"} '),
+        F.round("value").cast("bigint").cast("string"),
+        F.lit(" "),
+        (F.unix_timestamp("ts") * 1000).cast("string"),
+    )
+    d = ev.select("event_id", decode_prometheus_line(line).alias("m"))
+    return d.select(
+        "event_id",
+        F.col("m.name").alias("name"),
+        F.element_at("m.labels", "user").alias("label_user"),
+        F.element_at("m.labels", "job").alias("label_job"),
+        F.round("m.value", 6).alias("value"),
+        F.col("m.ts_ms").alias("ts_ms"),
+    )
+
+
+SQL_OP_DECODE_PROMETHEUS = """
+SELECT event_id, event_type AS name,
+       CAST(user_id % 10 AS VARCHAR) AS label_user,
+       'vector_spark' AS label_job,
+       round(CAST(round(value) AS BIGINT) * 1.0, 6) AS value,
+       CAST(floor(epoch(ts)) * 1000 AS BIGINT) AS ts_ms
+FROM events
+"""
+
+
 def q_op_agg_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-metric merge (value.rs:213-216): union of unique string
     values per (day window, series); rendered as a joined string so
@@ -1767,6 +1843,8 @@ QUERIES = {
     "op_agg_set": q_op_agg_set,
     "op_decode_gelf": q_op_decode_gelf,
     "op_parse_combined": q_op_parse_combined,
+    "op_decode_statsd": q_op_decode_statsd,
+    "op_decode_prometheus": q_op_decode_prometheus,
     "op_cardinality": q_op_cardinality,
     "op_line_agg": q_op_line_agg,
     "op_enrich_dim": q_op_enrich_dim,
@@ -1829,6 +1907,8 @@ ORACLES = {
     "op_agg_set": SQL_OP_AGG_SET,
     "op_decode_gelf": SQL_OP_DECODE_GELF,
     "op_parse_combined": SQL_OP_PARSE_COMBINED,
+    "op_decode_statsd": SQL_OP_DECODE_STATSD,
+    "op_decode_prometheus": SQL_OP_DECODE_PROMETHEUS,
     "op_cardinality": SQL_OP_CARDINALITY,
     "op_line_agg": SQL_OP_LINE_AGG,
     "op_enrich_dim": SQL_OP_ENRICH_DIM,

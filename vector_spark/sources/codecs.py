@@ -210,6 +210,133 @@ def read_octet_counting(
     )
 
 
+def decode_statsd(col: Column) -> Column:
+    """statsd/dogstatsd line deserializer
+    (src/sources/statsd/parser.rs:15-109):
+
+      name:value|type[|@sample_rate][|#tag1:v1,tag2]
+
+    -> struct(name, mtype, kind, value:double, sample_rate:double,
+    tags:map<string,string>). Faithful semantics: the name is
+    sanitized ('/' -> "'-", whitespace -> '_', other non-alphanum
+    dropped, :160-165); counters multiply by 1/sample_rate (:38,62);
+    '+n'/'-n' gauges are incremental deltas, plain gauges absolute
+    (:73-97); 'ms' timers convert to base seconds (:176-180); type
+    maps c->counter, g->gauge, s->set, h/ms->distribution(histogram),
+    d->distribution(summary). Bare tags get value 'true'
+    (parse_tags:126-146). Malformed lines -> all-NULL struct."""
+    key = F.substring_index(col, ":", 1)
+    body = F.substr(col, F.length(key) + 2)
+    parts = F.split(body, r"\|")
+    nparts = F.size(parts)
+    ok = (F.instr(col, ":") > 0) & (nparts >= 2)
+
+    name = F.regexp_replace(key, "/", "'-")
+    name = F.regexp_replace(name, r"\s+", "_")
+    name = F.regexp_replace(name, r"[^a-zA-Z_\-0-9\.]", "")
+
+    raw_val = F.try_element_at(parts, F.lit(1))
+    mtype_c = F.try_element_at(parts, F.lit(2))
+    p3 = F.try_element_at(parts, F.lit(3))
+    p4 = F.try_element_at(parts, F.lit(4))
+    sampling = F.when(p3.startswith("@"), p3)
+    tags_part = F.coalesce(
+        F.when(sampling.isNull() & p3.startswith("#"), p3),
+        F.when(p4.startswith("#"), p4),
+    )
+    rate_raw = F.substr(sampling, F.lit(2)).try_cast("double")
+    # sanitize_sampling: 0 -> 1; effective multiplier is 1/rate
+    sample_rate = F.coalesce(
+        1.0 / F.when(rate_raw != 0.0, rate_raw), F.lit(1.0)
+    )
+
+    tag_entries = F.transform(
+        F.split(F.substr(tags_part, F.lit(2)), ","),
+        lambda p: F.struct(
+            F.substring_index(p, ":", 1).alias("key"),
+            F.when(F.instr(p, ":") > 0, F.substr(p, F.instr(p, ":") + 1))
+            .otherwise("true")
+            .alias("value"),
+        ),
+    )
+    tags = F.when(tags_part.isNotNull(), F.map_from_entries(tag_entries))
+
+    num = raw_val.try_cast("double")
+    signed = raw_val.rlike(r"^[+-]")
+    value = (
+        F.when(mtype_c == "c", num * sample_rate)
+        .when(mtype_c == "ms", num / 1000.0)
+        .otherwise(num)
+    )
+    mtype = (
+        F.when(mtype_c == "c", "counter")
+        .when(mtype_c == "g", "gauge")
+        .when(mtype_c == "s", "set")
+        .when(mtype_c.isin("h", "ms"), "distribution_histogram")
+        .when(mtype_c == "d", "distribution_summary")
+    )
+    kind = F.when(
+        (mtype_c == "g") & ~signed, "absolute"
+    ).otherwise("incremental")
+
+    return F.struct(
+        F.when(ok, name).alias("name"),
+        F.when(ok, mtype).alias("mtype"),
+        F.when(ok & mtype.isNotNull(), kind).alias("kind"),
+        F.when(ok, value).alias("value"),
+        F.when(ok, sample_rate).alias("sample_rate"),
+        F.when(ok, tags).alias("tags"),
+    )
+
+
+_PROM_LINE_RX = r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})?\s+(\S+)(?:\s+(\d+))?\s*$"
+
+
+def decode_prometheus_line(col: Column) -> Column:
+    """Prometheus text-exposition sample line
+    (src/sources/prometheus/ consumes this format; the grammar is the
+    public exposition format):
+
+      metric_name{label="a",other="b"} value [timestamp_ms]
+
+    -> struct(name, labels:map<string,string>, value:double,
+    ts_ms:bigint). Comment (#) and malformed lines -> all-NULL
+    struct. Label values may contain escaped quotes."""
+    name = F.regexp_extract(col, _PROM_LINE_RX, 1)
+    labels_raw = F.regexp_extract(col, _PROM_LINE_RX, 2)
+    value_raw = F.regexp_extract(col, _PROM_LINE_RX, 3)
+    ts_raw = F.regexp_extract(col, _PROM_LINE_RX, 4)
+    ok = (
+        ~col.startswith("#")
+        & (name != "")
+        & F.regexp_extract(col, _PROM_LINE_RX, 3).isNotNull()
+        & (value_raw != "")
+    )
+    pair_rx = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"'
+    keys = F.regexp_extract_all(labels_raw, F.lit(pair_rx), 1)
+    vals = F.transform(
+        F.regexp_extract_all(labels_raw, F.lit(pair_rx), 2),
+        lambda v: F.replace(
+            F.replace(v, F.lit(r"\""), F.lit('"')), F.lit(r"\\"), F.lit("\\")
+        ),
+    )
+    labels = F.when(labels_raw != "", F.map_from_arrays(keys, vals)).otherwise(
+        F.when(ok, F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")))
+    )
+    value = (
+        F.when(F.lower(value_raw) == "nan", float("nan"))
+        .when(F.lower(value_raw).isin("+inf", "inf"), float("inf"))
+        .when(F.lower(value_raw) == "-inf", float("-inf"))
+        .otherwise(value_raw.try_cast("double"))
+    )
+    return F.struct(
+        F.when(ok, name).alias("name"),
+        F.when(ok, labels).alias("labels"),
+        F.when(ok, value).alias("value"),
+        F.when(ok, ts_raw.try_cast("bigint")).alias("ts_ms"),
+    )
+
+
 def encode_json(cols: list[str] | None = None) -> Column:
     """json serializer: struct of named columns -> one JSON line."""
     return F.to_json(F.struct(*[F.col(c) for c in (cols or [])]))
