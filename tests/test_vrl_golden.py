@@ -19,7 +19,8 @@ Functions with golden parity here (4x: file citation in each case):
   format_timestamp parse_timestamp strip_ansi_escape_codes
   ip_aton ip_ntoa ip_cidr_contains ip_subnet ip_to_ipv6 ipv6_to_ipv4
   sha3 decode_mime_q parse_query_string format_int to_syslog_facility
-  chunks tally tally_value find
+  chunks tally tally_value find parse_xml parse_ruby_hash
+  parse_user_agent
 
 Documented dialect divergences (asserted with translated inputs):
   * regex patterns/replacements are Java-dialect ((?<g>..)/$1) not
@@ -358,6 +359,54 @@ CASES = [
     # find.rs
     ("find_hit", lambda: _fn("find")(L("foobar"), "bar"), 3),
     ("find_miss", lambda: _fn("find")(L("foobar"), "xyz"), -1),
+    # parse_ruby_hash.rs (rendered back to JSON via to_json on the variant)
+    (
+        "parse_ruby_hash",
+        lambda: F.to_json(
+            _fn("parse_ruby_hash")(
+                L('{ "test" => "value", "testNum" => 0.2, "testObj" => { "testBool" => true, "testNull" => nil } }')
+            )
+        ),
+        '{"test":"value","testNum":0.2,"testObj":{"testBool":true,"testNull":null}}',
+    ),
+    # parse_xml.rs (@attr / text_key mapping)
+    (
+        "parse_xml",
+        lambda: _fn("parse_xml")(
+            L(
+                '<book category="CHILDREN"><title lang="en">Harry Potter</title>'
+                "<author>J K. Rowling</author><year>2005</year></book>"
+            )
+        ),
+        '{"book": {"@category": "CHILDREN", "author": "J K. Rowling", '
+        '"title": {"@lang": "en", "value": "Harry Potter"}, "year": "2005"}}',
+    ),
+    # parse_user_agent.rs fast-mode analogue (family/version heuristics)
+    (
+        "parse_ua_firefox",
+        lambda: _fn("parse_user_agent")(
+            L(
+                "Mozilla Firefox 1.0.1 Mozilla/5.0 (X11; U; Linux i686; de-DE; "
+                "rv:1.7.6) Gecko/20050223 Firefox/1.0.1"
+            )
+        ),
+        {
+            "browser": {"family": "Firefox", "version": "1.0.1"},
+            "os": {"family": "Linux", "version": None},
+            "device": {"category": "pc"},
+        },
+    ),
+    (
+        "parse_ua_msie",
+        lambda: _fn("parse_user_agent")(
+            L("Mozilla/4.0 (compatible; MSIE 7.66; Windows NT 5.1; SV1; .NET CLR 1.1.4322)")
+        ),
+        {
+            "browser": {"family": "Internet Explorer", "version": "7.66"},
+            "os": {"family": "Windows", "version": "NT 5.1"},
+            "device": {"category": "pc"},
+        },
+    ),
     # lib/vrl/tests/tests/expressions/function_call/positional_argument.vrl
     (
         "corpus_sha1_positional",
@@ -424,4 +473,4 @@ def test_registry_counts_hold():
 
     s = coverage_summary()
     assert s["total"] == 143
-    assert s["with_callable"] >= 96
+    assert s["with_callable"] >= 99

@@ -282,6 +282,119 @@ def find(col: Column, substring: str) -> Column:
     return F.when(pos > 0, pos - 1).otherwise(F.lit(-1)).cast("bigint")
 
 
+def parse_ruby_hash(col: Column) -> Column:
+    """parse_ruby_hash.rs: ruby hash literal -> VARIANT (Spark 4
+    parse_json) after rewriting the ruby surface syntax: '=>' -> ':',
+    nil -> null, :symbol keys -> "symbol". Heuristic string rewrite —
+    a STRING VALUE containing '=>' or ':sym' would be corrupted;
+    fine for the log payloads this function exists for (the reference
+    parses properly but its own docs scope it to ruby-ish logs)."""
+    s = F.regexp_replace(col, r"=>", ":")
+    s = F.regexp_replace(s, r":\s*nil\b", ": null")
+    s = F.regexp_replace(s, r":([A-Za-z_]\w*)\s*:", r'"$1":')
+    return F.try_parse_json(s)
+
+
+def parse_xml(col: Column, text_key: str = "value") -> Column:
+    """parse_xml.rs: XML -> nested object, rendered as a JSON string
+    (chain from_json/try_parse_json for typed access). Mapping follows
+    the reference: attributes keyed '@attr'; an element with children
+    or attributes nests, its text under `text_key`; text-only elements
+    collapse to their string; repeated siblings become arrays. Python
+    stdlib ElementTree behind one Arrow pandas UDF."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def px(s):  # pd.Series -> pd.Series
+        import xml.etree.ElementTree as ET
+
+        def conv(el):
+            out = {f"@{k}": v for k, v in el.attrib.items()}
+            text = (el.text or "").strip()
+            kids = list(el)
+            if not kids and not out:
+                return text
+            for kid in kids:
+                v = conv(kid)
+                if kid.tag in out:
+                    prev = out[kid.tag]
+                    out[kid.tag] = prev + [v] if isinstance(prev, list) else [prev, v]
+                else:
+                    out[kid.tag] = v
+            if text:
+                out[text_key] = text
+            return out
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                root = ET.fromstring(str(v))
+            except ET.ParseError:
+                return None
+            return _json.dumps({root.tag: conv(root)}, sort_keys=True)
+
+        return pd.Series([one(v) for v in s])
+
+    return px(col)
+
+
+_UA_BROWSERS = [
+    # (family, version-capture regex) — FIRST match wins; order matters
+    # (Edge/Opera carry Chrome tokens, Chrome carries Safari tokens)
+    ("Edge", r"Edge?/(\d+[\w.]*)"),
+    ("Opera Mini", r"Opera Mini/(\d+[\w.]*)"),
+    ("Opera", r"(?:Opera[/ ]|OPR/)(\d+[\w.]*)"),
+    ("Firefox", r"Firefox/(\d+[\w.]*)"),
+    ("Chrome", r"Chrom(?:e|ium)/(\d+[\w.]*)"),
+    ("Safari", r"Version/(\d+[\w.]*).*Safari/"),
+    ("Internet Explorer", r"MSIE (\d+[\w.]*)"),
+]
+_UA_OS = [
+    ("Windows", r"Windows (NT \d+\.\d+)"),
+    ("iOS", r"iPhone OS (\d+[_\d]*)"),
+    ("Mac OS X", r"Mac OS X (\d+[_.\d]*)"),
+    ("Android", r"Android (\d+[\w.]*)"),
+    ("Linux", r"Linux()"),  # empty capture: no version on the wire
+]
+
+
+def parse_user_agent(col: Column) -> Column:
+    """parse_user_agent.rs 'fast mode' analogue -> struct(browser
+    struct<family,version>, os struct<family,version>, device
+    struct<category>). HEURISTIC regex family tables, not the
+    reference's UA database (documented divergence: unknown agents
+    yield null families rather than db-backed guesses); fully
+    JVM-side."""
+    def first_match(table):
+        fam = F.lit(None).cast("string")
+        ver = F.lit(None).cast("string")
+        for family, rx in reversed(table):
+            hit = col.rlike(rx)
+            v = F.nullif(F.regexp_extract(col, rx, 1), F.lit(""))
+            fam = F.when(hit, family).otherwise(fam)
+            ver = F.when(hit, v).otherwise(ver)
+        return fam, ver
+
+    bfam, bver = first_match(_UA_BROWSERS)
+    osfam, osver = first_match(_UA_OS)
+    mobile = col.rlike(r"Mobile|iPhone|Android|Opera Mini")
+    bot = col.rlike(r"(?i)bot|crawler|spider|slurp")
+    category = (
+        F.when(bot, "bot").when(mobile, "mobile").otherwise(
+            F.when(bfam.isNotNull() | osfam.isNotNull(), "pc")
+        )
+    )
+    return F.struct(
+        F.struct(bfam.alias("family"), bver.alias("version")).alias("browser"),
+        F.struct(osfam.alias("family"), osver.alias("version")).alias("os"),
+        F.struct(category.alias("category")).alias("device"),
+    )
+
+
 # --- crypto/codec UDF leaves (no JVM builtin; Arrow-vectorized) --------------
 
 

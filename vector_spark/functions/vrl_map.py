@@ -83,9 +83,9 @@ VRL: dict[str, VrlFn] = {
     "parse_aws_alb_log": VrlFn("compose", "presets.parse_aws_alb_log (typed core-field struct)", parse_aws_alb_log),
     "parse_aws_cloudwatch_log_subscription_message": VrlFn("native", "F.from_json with the subscription schema", None),
     "parse_aws_vpc_flow_log": VrlFn("compose", "presets.parse_aws_vpc_flow_log (typed struct)", parse_aws_vpc_flow_log),
-    "parse_ruby_hash": VrlFn("scope", "ruby-literal parser; transcripts never carry it", None),
-    "parse_xml": VrlFn("scope", "needs an XML lib; gate behind import-try at need", None),
-    "parse_user_agent": VrlFn("scope", "UA database lookup; env-dependent", None),
+    "parse_ruby_hash": VrlFn("compose", "vrl_compat.parse_ruby_hash (syntax rewrite -> try_parse_json VARIANT; heuristic, documented)", V.parse_ruby_hash),
+    "parse_xml": VrlFn("udf", "vrl_compat.parse_xml (stdlib ElementTree -> JSON string, @attr/text_key mapping per reference)", V.parse_xml),
+    "parse_user_agent": VrlFn("compose", "vrl_compat.parse_user_agent (regex family tables, JVM-side; heuristic vs the reference UA db — documented)", V.parse_user_agent),
     # --- string ----------------------------------------------------------
     "downcase": VrlFn("native", "F.lower", F.lower),
     "upcase": VrlFn("native", "F.upper", F.upper),
