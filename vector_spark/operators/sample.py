@@ -13,24 +13,31 @@ counter, and do not receive a `sample_rate` field (:130-133).
 Scale note (counter mode): "every Nth event globally" needs a global
 row number. A naive `Window.orderBy(...)` with no partitionBy
 serializes the whole table through one task; instead we use a
-two-phase zipWithIndex-style plan that stays fully parallel:
+zipWithIndex-style plan with ONE full-data shuffle:
 
-  1. range-repartition + sort on the total order (one range shuffle;
-     inter-partition order now matches the global order),
-  2. per-partition local running count of counter-eligible rows
-     (window partitioned by spark_partition_id — parallel),
-  3. per-partition eligible-row counts -> prefix-sum offsets (a
-     single-partition window over O(num_partitions) rows — trivially
-     small), broadcast-joined back on partition id,
-  4. global_rn = offset + local_rn; keep rows with
+  1. counter-exempt (`exclude`) rows split off and pass through
+     untouched (they never advance the counter — sample.rs:99-104),
+  2. the eligible rows range-repartition + sort on the total order
+     (one range shuffle; inter-partition order now matches the global
+     order),
+  3. `monotonically_increasing_id()` over the sorted partitions IS
+     the (partition_id, local_index) pair — pid in the upper bits,
+     per-partition 0-based row index in the lower 33 — so both the
+     partition id and the local row number come from a pure
+     projection, no window, no further exchange,
+  4. per-partition counts -> prefix-sum offsets (a single-partition
+     window over O(num_partitions) rows — trivially small),
+     broadcast-joined back on pid,
+  5. global_rn = offset + local_rn; keep rows with
      (global_rn - 1) % rate == 0.
 
-The physical plan has NO single-partition exchange over event data;
-the only serialized stage touches one row per partition. The
-partitioned frame feeds both the offsets subtree and the main join
-side; both recomputations see identical partition ids because
-repartitionByRange samples range bounds with a fixed seed and the
-source scan order is stable.
+The physical plan's ONLY SinglePartition exchange is over the
+per-partition counts (one row per input partition); the event data
+crosses exactly one range exchange, shared by the counts subtree and
+the main side via AQE exchange reuse (same shuffle stage, read
+twice). The ids are stable across the two reads: they are a pure
+function of partition id and the sorted row order of the materialized
+shuffle output.
 """
 
 from __future__ import annotations
@@ -38,7 +45,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_PID, _EX, _LRN, _OFF, _CNT = "__pid", "__ex", "__lrn", "__off", "__cnt"
+_PID, _LRN, _MID, _OFF, _CNT = "__pid", "__lrn", "__mid", "__off", "__cnt"
+_LOW33 = (1 << 33) - 1
 
 
 def sample(
@@ -61,19 +69,14 @@ def sample(
         )
     if not order_by:
         raise ValueError("counter-mode sampling needs a stable order_by")
+    eligible = df.filter(~excl) if exclude is not None else df
     part = (
-        df.repartitionByRange(*order_by)
+        eligible.repartitionByRange(*order_by)
         .sortWithinPartitions(*order_by)
-        .withColumn(_PID, F.spark_partition_id())
-        .withColumn(_EX, excl)
-    )
-    w_local = (
-        Window.partitionBy(_PID)
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    part = part.withColumn(
-        _LRN, F.sum(F.when(F.col(_EX), 0).otherwise(1)).over(w_local)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .withColumn(_PID, F.shiftright(F.col(_MID), 33))
+        .withColumn(_LRN, F.col(_MID).bitwiseAND(F.lit(_LOW33)) + 1)
+        .drop(_MID)
     )
     counts = part.groupBy(_PID).agg(F.max(_LRN).alias(_CNT))
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
@@ -82,9 +85,14 @@ def sample(
     )
     joined = part.join(F.broadcast(offsets), _PID, "left")
     grn = F.coalesce(F.col(_OFF), F.lit(0)) + F.col(_LRN)
-    keep = (~F.col(_EX)) & (F.pmod(grn - 1, F.lit(rate)) == 0)
-    return (
-        joined.filter(keep | F.col(_EX))
-        .withColumn(rate_field, F.when(~F.col(_EX), F.lit(rate)))
-        .drop(_PID, _EX, _LRN, _OFF)
+    sampled = (
+        joined.filter(F.pmod(grn - 1, F.lit(rate)) == 0)
+        .drop(_PID, _LRN, _OFF)
+        .withColumn(rate_field, F.lit(rate).cast("int"))
     )
+    if exclude is None:
+        return sampled
+    passthrough = df.filter(excl).withColumn(
+        rate_field, F.lit(None).cast("int")
+    )
+    return sampled.unionByName(passthrough)
