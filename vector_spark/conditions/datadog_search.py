@@ -37,9 +37,14 @@ string-matches `Value::Bytes`; a fixed-schema engine knows better):
     value compares numerically (reference would return false);
   * `_exists_` tests IS NOT NULL (presence and null-ness coincide in
     a fixed schema).
-Every leaf is coalesced to FALSE so NOT over a null field behaves
-like the reference's boolean matcher (Rust matchers are 2-valued;
-Spark predicates are 3-valued).
+Null semantics vs the reference's 2-valued matchers: leaves stay
+3-valued (a NULL field yields NULL, which filters exactly like the
+reference's FALSE) so positive predicates remain PUSHDOWN-ELIGIBLE —
+wrapping every leaf in coalesce(pred, false) was measured to disable
+parquet PushedFilters entirely. Only negation needs the 2-valued
+repair: NOT compiles to coalesce(NOT x, TRUE), restoring "NOT over a
+null field is true" at exactly the nodes where 3-valued logic
+diverges.
 """
 
 from __future__ import annotations
@@ -624,10 +629,12 @@ class _Compiler:
 
     @staticmethod
     def _b(col: Column | None) -> Column:
-        """Leaves are 2-valued like the reference's matchers."""
+        """Unresolvable field -> constant FALSE; otherwise the raw
+        3-valued predicate (NULL filters like FALSE; negation repairs
+        the one divergent case — see module docstring)."""
         if col is None:
             return F.lit(False)
-        return F.coalesce(col, F.lit(False))
+        return col
 
     def _any_tag(self, fn) -> Column:
         tags = self._tags()
@@ -747,7 +754,7 @@ class _Compiler:
         if isinstance(node, MatchNone):
             return F.lit(False)
         if isinstance(node, Not):
-            return ~self.compile(node.node)
+            return _not(self.compile(node.node))
         if isinstance(node, Bool):
             cols = [self.compile(n) for n in node.nodes]
             out = cols[0]
@@ -758,7 +765,8 @@ class _Compiler:
             return self._any_field(node.attr, self.exists)
         if isinstance(node, Missing):
             # matcher.rs:116-123: ALL resolved fields must be absent
-            parts = [~self.exists(k, p) for k, p in self.resolve(node.attr)]
+            # (an absent/null container counts as missing -> _not)
+            parts = [_not(self.exists(k, p)) for k, p in self.resolve(node.attr)]
             return _fold_and(parts)
         if isinstance(node, (Term, Phrase)):
             value = node.value if isinstance(node, Term) else node.phrase
@@ -782,6 +790,13 @@ class _Compiler:
     def _any_field(self, attr: str, fn) -> Column:
         parts = [fn(kind, path) for kind, path in self.resolve(attr)]
         return _fold_or(parts)
+
+
+def _not(col: Column) -> Column:
+    """2-valued negation: NULL input means 'did not match', so its
+    negation is TRUE (the reference's matcher returns false -> NOT
+    gives true)."""
+    return F.coalesce(~col, F.lit(True))
 
 
 def _fold_or(cols: list[Column]) -> Column:
