@@ -56,3 +56,21 @@ def test_counter_plan_has_no_global_window(spark):
     # event data crosses range exchanges only (plus the tiny counts
     # SinglePartition feeding the broadcast offsets)
     assert final.count("rangepartitioning") >= 1
+
+
+def test_filter_pushdown(spark):
+    """filter_events must leave the predicate pushdown-eligible
+    (coalesce-wrapping it was measured to empty PushedFilters)."""
+    import contextlib
+    import io
+    import re
+
+    from vector_spark.operators.filter import filter_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = filter_events(ev, (F.col("event_type") == "error") & (F.col("value") > 10))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", buf.getvalue())
+    assert pushed and "EqualTo(event_type,error)" in pushed[0]

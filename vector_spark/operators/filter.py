@@ -14,4 +14,8 @@ from pyspark.sql import functions as F
 
 
 def filter_events(df: DataFrame, condition: Column) -> DataFrame:
-    return df.filter(F.coalesce(condition, F.lit(False)))
+    # raw 3-valued condition: a NULL predicate drops the row exactly
+    # like the reference's false, and — unlike coalesce(cond, false),
+    # which is pushdown-opaque — the bare predicate reaches the scan
+    # as PushedFilters (verified in PLANS.md / test_filter_pushdown)
+    return df.filter(condition)
