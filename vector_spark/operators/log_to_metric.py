@@ -61,7 +61,9 @@ def log_to_metric(df: DataFrame, specs: list[MetricSpec], ts_col: str = "ts") ->
         val_c = (s.value if s.value is not None else F.lit(1.0)).cast("double")
         proj = df
         if s.only_when is not None:
-            proj = proj.filter(F.coalesce(s.only_when, F.lit(False)))
+            # bare 3-valued predicate: NULL drops the row like false,
+            # and stays pushdown-eligible (cf. operators/filter.py)
+            proj = proj.filter(s.only_when)
         null_samples = F.lit(None).cast(
             "array<struct<value:double,rate:bigint>>"
         )
