@@ -117,3 +117,25 @@ def test_spec_log_to_metric_roundtrip(spark):
     row = ports["logs"].collect()[0]
     assert '"name":"events_total"' in row.message
     assert '"event_type":"click"' in row.message
+
+
+def test_dd_condition_in_spec(spark, events_df):
+    """'dd:' conditions compile through the Datadog search DSL."""
+    from vector_spark.plans.pipeline import Pipeline
+
+    spec = {
+        "sources": {"ev": {"type": "injected"}},
+        "transforms": {
+            "errs": {
+                "type": "filter",
+                "inputs": ["ev"],
+                "condition": "dd:event_type:error AND value:>=0",
+            },
+        },
+    }
+    ports = Pipeline(spec, spark).compile({"ev": events_df})
+    got = ports["errs"].count()
+    want = events_df.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 0)
+    ).count()
+    assert got == want > 0

@@ -40,10 +40,19 @@ from vector_spark.operators.sample import sample
 from vector_spark.operators.throttle import throttle
 
 
-def _cond(c) -> Column:
-    """Conditions may be Columns or SQL strings (the VRL/datadog-search
-    predicate surface lowers to either)."""
-    return F.expr(c) if isinstance(c, str) else c
+def _cond(c, df: DataFrame | None = None) -> Column:
+    """Conditions may be Columns, SQL strings, or — with a 'dd:'
+    prefix — Datadog search query strings compiled through
+    conditions.datadog_search (the reference's second condition type,
+    src/conditions/mod.rs:22-47). The DataFrame, when in scope, gives
+    the dd compiler schema-aware field resolution."""
+    if isinstance(c, str):
+        if c.startswith("dd:"):
+            from vector_spark.conditions import dd_query
+
+            return dd_query(c[3:].strip(), df)
+        return F.expr(c)
+    return c
 
 
 def _exprs(d: Mapping) -> dict[str, Column]:
@@ -107,7 +116,7 @@ class Pipeline:
     def _apply(self, name: str, t: Mapping, df: DataFrame, ports: dict) -> None:
         kind = t["type"]
         if kind == "filter":
-            ports[name] = filter_events(df, _cond(t["condition"]))
+            ports[name] = filter_events(df, _cond(t["condition"], df))
         elif kind == "remap":
             ok, dropped = remap(
                 df,
@@ -121,7 +130,7 @@ class Pipeline:
             ports[name] = ok
             ports[f"{name}.dropped"] = dropped
         elif kind == "route":
-            conds = {k: _cond(v) for k, v in t["conditions"].items()}
+            conds = {k: _cond(v, df) for k, v in t["conditions"].items()}
             for port, rdf in route(df, conds, cache=t.get("cache", True)).items():
                 ports[f"{name}.{port}"] = rdf
         elif kind == "sample":
