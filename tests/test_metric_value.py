@@ -87,3 +87,34 @@ def test_set_merge(spark):
     )
     out = merge_sets(df, "1 day", ["name"]).collect()[0]
     assert out.set_values == ["a", "b", "c"]
+
+
+def test_stream_histogram_matches_batch(spark, tmp_path):
+    """Streaming merge == batch merge on the same bounded input."""
+    import pandas as pd
+
+    from vector_spark.streaming.stream_ops import stream_histogram_merge
+
+    src = tmp_path / "hist_in"
+    m = _hist_rows(spark, [10, 60, 60, 150, 999], [50.0, 100.0, 200.0])
+    m.write.mode("overwrite").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    sdf = spark.readStream.schema(schema).parquet(str(src))
+    agg = stream_histogram_merge(sdf, "1 day", ["name"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hist_stream_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("hist_stream_t").collect()
+    want = merge_histograms(
+        spark.read.parquet(str(src)), "1 day", ["name"]
+    ).collect()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert [b["count"] for b in g.buckets] == [b["count"] for b in w.buckets]
+    assert g["count"] == w["count"] and g["sum"] == w["sum"]

@@ -82,6 +82,56 @@ def stream_aggregate(
     )
 
 
+def stream_histogram_merge(
+    df: DataFrame,
+    interval: str,
+    series_cols: list[str],
+    buckets_col: str = "buckets",
+    count_col: str = "count",
+    sum_col: str = "sum",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming AggregatedHistogram merge (value.rs:229-253 under a
+    flush window). Structured Streaming forbids stacked aggregations,
+    so the batch operator's posexplode+two-level-agg shape is replaced
+    by ONE aggregation (collect_list of bucket arrays + scalar sums)
+    followed by a stateless zip-add reduction in the projection —
+    higher-order functions run after the agg, which streaming allows.
+    State per (window, series, layout) group is rows x buckets; fine
+    for metric streams (bounded series cardinality), and the layout
+    grouping key preserves the no-cross-layout-merge guard."""
+    layout = F.transform(F.col(buckets_col), lambda b: b["upper"]).alias("__layout")
+    agged = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), interval), *series_cols, layout)
+        .agg(
+            F.collect_list(F.col(buckets_col)).alias("__blists"),
+            F.sum(F.col(count_col)).alias(count_col),
+            F.sum(F.col(sum_col)).alias(sum_col),
+        )
+    )
+    merged = F.aggregate(
+        F.slice(F.col("__blists"), 2, 2_000_000_000),
+        F.element_at(F.col("__blists"), 1),
+        lambda acc, b: F.zip_with(
+            acc,
+            b,
+            lambda x, y: F.struct(
+                x["upper"].alias("upper"), (x["count"] + y["count"]).alias("count")
+            ),
+        ),
+    )
+    return agged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *series_cols,
+        merged.alias(buckets_col),
+        count_col,
+        sum_col,
+    )
+
+
 def stream_throttle_state(
     df: DataFrame,
     threshold: int,
