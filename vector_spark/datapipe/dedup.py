@@ -92,6 +92,31 @@ def shingle_id(col: Column) -> Column:
     return F.pmod(hex_prefix_to_long(F.md5(col)), F.lit(MH_P))
 
 
+def shingles_hashed(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, h) — distinct word n-grams as portable numeric ids. The
+    string shingle is hashed BEFORE the distinct, so the dedup shuffle
+    and every downstream join move 8-byte longs instead of ~20-byte
+    shingle strings. Dedup is by hash id, not by string: two distinct
+    shingles of one document colliding mod 2^31-1 would merge — a
+    ~1e-5-per-document event the LSH ORACLE reproduces exactly
+    (DuckDB computes the identical md5-derived id before its
+    DISTINCT), so engine parity holds by construction."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.size(words) - (n - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .select("id", shingle_id(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 4, n: int = 3
 ) -> DataFrame:
@@ -195,9 +220,16 @@ def minhash_dedup_pairs(
     exchange becomes one materialized ShuffleQueryStage reused by all
     downstream subtrees (verified: executedPlan shows 2 distinct
     stage ids referenced 16x), so shuffle files on local disk act as
-    the cache with no block-manager residency to leak."""
-    sh = shingles(df, id_col, text_col, n=n)
-    sig = _signatures_from_shingles(sh, n_hashes)
+    the cache with no block-manager residency to leak. Shingles move
+    as hashed longs end-to-end (shingles_hashed): the dedup shuffle
+    and verification join never carry shingle strings."""
+    sh = shingles_hashed(df, id_col, text_col, n=n)
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * MH_A[i] + MH_B[i], F.lit(MH_P))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
     buckets = lsh_band_buckets(sig, n_hashes, rows_per_band)
     if max_bucket is not None:
         bw = Window.partitionBy("band", "bucket")
@@ -217,12 +249,13 @@ def minhash_dedup_pairs(
     # exact-Jaccard verification restricted to the candidate pairs —
     # this is the point of LSH: the O(n^2) shingle join never happens,
     # intersection counts are computed only where a band collided.
+    # Joins run on the 8-byte hash id, not the shingle string.
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
-    b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
+    a_sh = sh.select(F.col("id").alias("id_a"), "h")
+    b_sh = sh.select(F.col("id").alias("id_b"), "h")
     inter = (
         cand.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "shingle"])
+        .join(b_sh, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

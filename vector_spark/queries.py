@@ -805,9 +805,24 @@ def q_dp_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hashed-shingle form: dedup and jaccard counting run over the
+# md5-derived numeric id, mirroring the Spark plan's shingles_hashed
+# (engine parity holds by construction: identical hash, identical
+# DISTINCT semantics)
+_SHINGLES_HASHED_CTE = r"""
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+s0 AS (
+  SELECT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+sh AS (
+  SELECT DISTINCT id,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM s0)
+"""
+
 SQL_DP_MINHASH_LSH_PAIRS = (
     "WITH "
-    + _SHINGLES_CTE
+    + _SHINGLES_HASHED_CTE
     + f""",
 sig AS (SELECT id, {_mh_sql_cols()} FROM sh GROUP BY id),
 buckets AS (
@@ -817,9 +832,14 @@ buckets AS (
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
-"""
-    + _JACCARD_SQL_BODY
-    + """
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
+  GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
 SELECT c.id_a, c.id_b, j.jaccard
 FROM cand c JOIN j ON j.id_a = c.id_a AND j.id_b = c.id_b
 WHERE j.jaccard >= 0.2"""
@@ -1683,7 +1703,7 @@ WITH norm AS (
 ex AS (SELECT fp, min(doc_id) AS keep_id FROM norm GROUP BY 1),
 kept AS (SELECT d.doc_id, d.text FROM documents d JOIN ex ON d.doc_id = ex.keep_id),
 """
-    + _SHINGLES_CTE.replace("FROM documents", "FROM kept").lstrip()
+    + _SHINGLES_HASHED_CTE.replace("FROM documents", "FROM kept").lstrip()
     + f""",
 sig AS (SELECT id, {_mh_sql_cols()} FROM sh GROUP BY id),
 buckets AS (
@@ -1693,8 +1713,15 @@ buckets AS (
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
+  GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
 """
-    + _JACCARD_SQL_BODY
     + r""",
 drops AS (
   SELECT DISTINCT c.id_b AS doc_id
