@@ -51,3 +51,24 @@ def test_cap_prunes_oversized_buckets(spark):
     sizes = buckets.groupBy("band", "bucket").count()
     max_size = sizes.agg(F.max("count")).first()[0]
     assert max_size >= 2  # the corpus does produce shared buckets
+
+
+def test_multiprobe_recall_monotone(spark):
+    """ANN recall vs brute force is monotone in `probes`: every
+    single-cell candidate pair is also a multi-probe candidate, and
+    recall@k against cosine_topk can only improve."""
+    from vector_spark.datapipe.similarity import ann_bucketed_topk, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def pairs(df):
+        return {(r.qid, r.vec_id) for r in df.collect()}
+
+    truth = pairs(cosine_topk(emb, queries, k=5))
+    p0 = pairs(ann_bucketed_topk(emb, queries, k=5, probes=0))
+    p1 = pairs(ann_bucketed_topk(emb, queries, k=5, probes=1))
+    r0 = len(p0 & truth) / len(truth)
+    r1 = len(p1 & truth) / len(truth)
+    assert r1 >= r0
+    assert len(p1) >= len(p0)

@@ -105,16 +105,41 @@ def quantize_bucket(vec: Column, dims: int = 4, scale: float = 5.0) -> Column:
     return F.concat_ws("_", *parts)
 
 
+def _probe_buckets(vec: Column, probes: int, dims: int = 4, scale: float = 5.0) -> Column:
+    """Array of probe bucket keys: the query's cell plus every
+    neighbor within +-probes steps per dimension ((2p+1)^dims keys —
+    QUERY-side only, the broadcast stays tiny). probes=0 is the
+    single-cell key."""
+    from itertools import product
+
+    qs = [
+        F.floor(F.element_at(vec, i + 1).cast("double") * scale).cast("bigint")
+        for i in range(dims)
+    ]
+    offsets = range(-probes, probes + 1)
+    keys = [
+        F.concat_ws("_", *[(qs[d] + off[d]).cast("string") for d in range(dims)])
+        for off in product(offsets, repeat=dims)
+    ]
+    return F.array(*keys)
+
+
 def ann_bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    probes: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's quantization
-    bucket (single equi-join — shuffles by bucket, no cross join).
-    Returns (qid, vec_id, rank, sim); recall < 1 by design."""
+    """Approximate top-k: candidates share one of the query's probe
+    buckets (equi-join on bucket — shuffles by bucket, no cross
+    join). `probes` is the IVF-style recall knob: 0 searches only the
+    query's own quantization cell; p expands the QUERY side to all
+    neighbor cells within +-p grid steps per dimension before the
+    join (the vector side is never expanded, so the big table's scan
+    and shuffle are unchanged). Returns (qid, vec_id, rank, sim);
+    recall < 1 by design, monotone in `probes`."""
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
@@ -123,12 +148,14 @@ def ann_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
-        quantize_bucket(F.col(vec_col)).alias("bucket"),
+        F.explode(_probe_buckets(F.col(vec_col), probes)).alias("bucket"),
     )
     scored = (
         v.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 6))
+        # a candidate can surface via several probe cells: dedupe pairs
+        .dropDuplicates(["qid", "vec_id"])
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (

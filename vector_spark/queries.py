@@ -952,6 +952,54 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_dp_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN (probes=1): the query expands to all grid
+    neighbors within +-1 step per dimension before the bucket
+    equi-join — the IVF recall knob; the vector side is never
+    expanded."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ann_bucketed_topk(emb, queries, k=5, probes=1)
+    return out.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "sim",
+    )
+
+
+_QDIMS_SQL = ", ".join(
+    f"CAST(floor(embedding[{i + 1}]::DOUBLE * 5.0) AS BIGINT) AS b{i}" for i in range(4)
+)
+_PROBE_BUCKET_SQL = "concat_ws('_', " + ", ".join(
+    f"CAST(b{i} + o{i} AS VARCHAR)" for i in range(4)
+) + ")"
+_PROBE_UNNESTS = ", ".join(
+    f"unnest([-1, 0, 1]) AS t{i}(o{i})" for i in range(4)
+)
+
+SQL_DP_ANN_MULTIPROBE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {_BUCKET_SQL} AS bucket FROM embeddings),
+q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, {_QDIMS_SQL}
+       FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT DISTINCT qid, qv, {_PROBE_BUCKET_SQL} AS bucket
+  FROM q0, {_PROBE_UNNESTS}),
+scored AS (
+  SELECT DISTINCT qid, vec_id,
+         round(list_dot_product(qv, vv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))), 6) AS sim
+  FROM v JOIN probes USING (bucket) WHERE vec_id <> qid),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank, sim
+FROM ranked WHERE rank <= 5
+"""
+
+
 SQL_DP_COSINE_NEAR_DUP_BUCKETED = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {_BUCKET_SQL} AS bucket
            FROM embeddings),
@@ -1891,6 +1939,7 @@ QUERIES = {
     "dp_cosine_near_dup": q_dp_cosine_near_dup,
     "dp_cosine_near_dup_bucketed": q_dp_cosine_near_dup_bucketed,
     "dp_ann_bucketed": q_dp_ann_bucketed,
+    "dp_ann_multiprobe": q_dp_ann_multiprobe,
     # operator breadth
     "op_sample_counter": q_op_sample_counter,
     "op_reduce_sessions": q_op_reduce_sessions,
@@ -1953,6 +2002,7 @@ ORACLES = {
     "dp_cosine_near_dup": SQL_DP_COSINE_NEAR_DUP,
     "dp_cosine_near_dup_bucketed": SQL_DP_COSINE_NEAR_DUP_BUCKETED,
     "dp_ann_bucketed": SQL_DP_ANN_BUCKETED,
+    "dp_ann_multiprobe": SQL_DP_ANN_MULTIPROBE,
     "op_sample_counter": SQL_OP_SAMPLE_COUNTER,
     "op_reduce_sessions": SQL_OP_REDUCE_SESSIONS,
     "op_enrich_between": SQL_OP_ENRICH_BETWEEN,
