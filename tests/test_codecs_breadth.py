@@ -125,3 +125,73 @@ def test_gelf_encode_decode_identity(spark):
     ev = df.select(decode_gelf(line).alias("e")).select("e.*").collect()[0]
     assert (ev.message, ev.host, ev.level) == ("boot", "h1", 3)
     assert ev.additional == {"_uid": "77"}
+
+
+def test_enrichment_csv_loader(spark, tmp_path):
+    """CSV enrichment table with the schema coercion map
+    (src/enrichment_tables/file.rs) feeding a broadcast lookup."""
+    from vector_spark.operators.enrich import enrich_lookup, load_enrichment_csv
+
+    p = tmp_path / "dim.csv"
+    p.write_text(
+        "tool,category,weight,since,active\n"
+        "shell,system,1.5,2023-01-10,yes\n"
+        "browser,web,2.0,2023-06-01,no\n"
+    )
+    dim = load_enrichment_csv(
+        spark,
+        str(p),
+        schema={
+            "weight": "float",
+            "since": "date",
+            "active": "boolean",
+        },
+    )
+    row = {r.tool: r for r in dim.collect()}
+    assert row["shell"].weight == 1.5
+    assert str(row["shell"].since) == "2023-01-10"
+    assert row["shell"].active is True and row["browser"].active is False
+    facts = spark.createDataFrame([("shell",), ("nope",)], "tool string")
+    out = {r.tool: r for r in enrich_lookup(facts, dim, on=["tool"]).collect()}
+    assert out["shell"].category == "system"
+    assert out["nope"].category is None
+
+
+def test_enrichment_csv_headerless_and_bad_schema(spark, tmp_path):
+    from vector_spark.operators.enrich import load_enrichment_csv
+
+    p = tmp_path / "nh.csv"
+    p.write_text("a;1\nb;2\n")
+    dim = load_enrichment_csv(spark, str(p), delimiter=";", include_headers=False)
+    assert dim.columns == ["col_0", "col_1"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_enrichment_csv(spark, str(p), include_headers=False, schema={"zz": "integer"})
+
+
+def test_encode_csv_decode_roundtrip(spark):
+    from vector_spark.sources.codecs import encode_csv
+
+    df = spark.createDataFrame(
+        [("a", 'with "quote', 1)], "x string, y string, n int"
+    )
+    line = df.select(encode_csv(["x", "y", "n"]).alias("l")).first().l
+    back = spark.createDataFrame([(line,)], "l string").select(
+        F.from_csv(F.col("l"), "x string, y string, n int", {"escape": '"'}).alias("e")
+    ).first().e
+    assert (back.x, back.y, back.n) == ("a", 'with "quote', 1)
+
+
+def test_encode_gelf_decode_roundtrip(spark):
+    from vector_spark.sources.codecs import decode_gelf, encode_gelf
+
+    df = spark.createDataFrame(
+        [("boot ok", "h1", 3, "77")], "msg string, host string, lvl int, uid string"
+    )
+    line = encode_gelf(
+        F.col("msg"), F.col("host"), level=F.col("lvl"), additional={"uid": F.col("uid")}
+    )
+    ev = df.select(decode_gelf(line).alias("e")).select("e.*").first()
+    assert (ev.message, ev.host, ev.level) == ("boot ok", "h1", 3)
+    assert ev.additional == {"_uid": "77"}

@@ -69,3 +69,50 @@ def enrich_between(
     for k in extra_eq or []:
         cond = cond & (df[k] == dim[k])
     return df.join(F.broadcast(dim), on=cond, how=how)
+
+
+def load_enrichment_csv(
+    spark,
+    path: str,
+    schema: dict[str, str] | None = None,
+    delimiter: str = ",",
+    include_headers: bool = True,
+) -> DataFrame:
+    """CSV-file enrichment table loader
+    (src/enrichment_tables/file.rs:24-67): header/delimiter options
+    plus the per-column `schema` coercion map — 'integer', 'float',
+    'boolean', 'date' (ISO), 'date|<java format>', 'timestamp',
+    anything else stays string (the Conversion::parse surface,
+    file.rs:122-180). Headerless files get positional col_0..col_N
+    names like the reference's generated fields. The loaded frame is
+    a normal small dimension: pass it to enrich_lookup /
+    enrich_between (which broadcast it)."""
+    reader = (
+        spark.read.option("header", "true" if include_headers else "false")
+        .option("delimiter", delimiter)
+    )
+    dim = reader.csv(path)
+    if not include_headers:
+        dim = dim.toDF(*[f"col_{i}" for i in range(len(dim.columns))])
+    for col, kind in (schema or {}).items():
+        if col not in dim.columns:
+            raise ValueError(f"schema column {col!r} not in CSV ({dim.columns})")
+        if kind == "integer":
+            dim = dim.withColumn(col, F.col(col).try_cast("bigint"))
+        elif kind == "float":
+            dim = dim.withColumn(col, F.col(col).try_cast("double"))
+        elif kind == "boolean":
+            from vector_spark.functions.vrl_compat import to_bool
+
+            dim = dim.withColumn(col, to_bool(F.col(col)))
+        elif kind == "date":
+            dim = dim.withColumn(col, F.to_date(F.col(col), "yyyy-MM-dd"))
+        elif kind.startswith("date|"):
+            dim = dim.withColumn(col, F.to_date(F.col(col), kind.split("|", 1)[1].strip()))
+        elif kind == "timestamp":
+            dim = dim.withColumn(col, F.to_timestamp(F.col(col)))
+        elif kind == "string":
+            pass
+        else:
+            raise ValueError(f"unknown enrichment schema type {kind!r} for {col!r}")
+    return dim

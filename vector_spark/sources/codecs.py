@@ -361,3 +361,34 @@ def encode_kv_map(map_col: Column) -> Column:
         lambda e: F.concat(e["key"], F.lit("="), e["value"]),
     )
     return F.array_join(entries, " ")
+
+
+def encode_csv(cols: list[str]) -> Column:
+    """csv serializer (lib/codecs/src/encoding/format/csv-ish): one
+    RFC4180 line per row from the named columns."""
+    return F.to_csv(F.struct(*[F.col(c) for c in cols]), {"escape": '"'})
+
+
+def encode_gelf(
+    message: Column,
+    host: Column,
+    ts: Column | None = None,
+    level: Column | None = None,
+    additional: dict[str, Column] | None = None,
+) -> Column:
+    """GELF serializer (lib/codecs/src/encoding/format/gelf.rs): the
+    inverse of decode_gelf — version pinned 1.1, message -> short_message,
+    epoch-seconds float timestamp, additional fields underscore-prefixed."""
+    fields = [
+        F.lit("1.1").alias("version"),
+        host.alias("host"),
+        message.alias("short_message"),
+    ]
+    if ts is not None:
+        fields.append(F.unix_timestamp(ts).cast("double").alias("timestamp"))
+    if level is not None:
+        fields.append(level.cast("int").alias("level"))
+    for k, v in (additional or {}).items():
+        name = k if k.startswith("_") else f"_{k}"
+        fields.append(v.cast("string").alias(name))
+    return F.to_json(F.struct(*fields))
