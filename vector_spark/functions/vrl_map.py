@@ -95,7 +95,7 @@ VRL: dict[str, VrlFn] = {
     "split": VrlFn("native", "F.split", F.split),
     "join": VrlFn("native", "F.array_join / concat_ws", lambda c, sep: F.array_join(c, sep)),
     "replace": VrlFn("native", "F.regexp_replace", F.regexp_replace),
-    "slice": VrlFn("native", "F.substring / F.slice", None),
+    "slice": VrlFn("native", "F.slice(arr, start+1, end-start) / substring for strings (non-negative indices)", lambda c, start, end: F.slice(c, start + 1, end - start)),
     "strlen": VrlFn("native", "F.length", F.length),
     "length": VrlFn("native", "F.length (string) / F.size (array/map)", None),
     "strip_whitespace": VrlFn("compose", "vrl_compat.strip_whitespace (all-whitespace trim; F.trim only strips spaces)", V.strip_whitespace),
@@ -112,7 +112,7 @@ VRL: dict[str, VrlFn] = {
     # --- codecs / crypto -------------------------------------------------
     "encode_base64": VrlFn("compose", "vrl_compat.encode_base64", V.encode_base64),
     "decode_base64": VrlFn("compose", "vrl_compat.decode_base64", V.decode_base64),
-    "encode_json": VrlFn("native", "F.to_json(struct)", None),
+    "encode_json": VrlFn("native", "F.to_json(struct/map)", lambda s: F.to_json(s)),
     "encode_key_value": VrlFn("compose", "codecs.encode_kv_map", lambda m: __import__("vector_spark.sources.codecs", fromlist=["encode_kv_map"]).encode_kv_map(m)),
     "encode_logfmt": VrlFn("compose", "codecs.encode_kv_map (sorted k=v; logfmt form)", lambda m: __import__("vector_spark.sources.codecs", fromlist=["encode_kv_map"]).encode_kv_map(m)),
     "encode_percent": VrlFn("compose", "vrl_compat.encode_percent (F.url_encode)", V.encode_percent),
@@ -156,7 +156,7 @@ VRL: dict[str, VrlFn] = {
     "is_regex": VrlFn("driver", "schema-known constant per column", None),
     "is_string": VrlFn("driver", "schema-known constant per column", None),
     "is_timestamp": VrlFn("driver", "schema-known constant per column", None),
-    "is_json": VrlFn("native", "F.try_parse_json / from_json(...).isNotNull", None),
+    "is_json": VrlFn("native", "F.try_parse_json(c).isNotNull()", lambda c: F.try_parse_json(c).isNotNull()),
     "is_null": VrlFn("native", "Column.isNull", lambda c: c.isNull()),
     "is_empty": VrlFn("compose", "length(c)==0 (string form)", lambda c: F.length(c) == 0),
     "is_nullish": VrlFn("compose", "vrl_compat.is_nullish", V.is_nullish),
@@ -191,11 +191,11 @@ VRL: dict[str, VrlFn] = {
     # --- time / env / misc ------------------------------------------------
     "now": VrlFn("native", "F.current_timestamp", F.current_timestamp),
     "format_timestamp": VrlFn("native", "F.date_format", F.date_format),
-    "uuid_v4": VrlFn("native", "F.uuid (per-row, nondeterministic)", None),
+    "uuid_v4": VrlFn("native", "F.uuid (per-row, nondeterministic)", lambda: F.uuid()),
     "get_env_var": VrlFn("driver", "F.lit(os.environ[...]) at plan build", None),
     "get_hostname": VrlFn("driver", "F.lit(socket.gethostname()) at plan build", None),
     "assert": VrlFn("native", "F.assert_true / F.raise_error (test-only)", None),
-    "assert_eq": VrlFn("native", "F.assert_true(a == b)", None),
+    "assert_eq": VrlFn("native", "F.assert_true(a == b)", lambda a, b: F.assert_true(a == b)),
     # --- IP ---------------------------------------------------------------
     "ip_aton": VrlFn("compose", "vrl_compat.ip_aton (JVM split+shift, IPv4)", V.ip_aton),
     "ip_ntoa": VrlFn("compose", "vrl_compat.ip_ntoa", V.ip_ntoa),
