@@ -118,3 +118,54 @@ def test_stream_histogram_matches_batch(spark, tmp_path):
     g, w = got[0], want[0]
     assert [b["count"] for b in g.buckets] == [b["count"] for b in w.buckets]
     assert g["count"] == w["count"] and g["sum"] == w["sum"]
+
+
+def test_stream_set_and_distribution_match_batch(spark, tmp_path):
+    from vector_spark.streaming.stream_ops import (
+        stream_distribution_merge,
+        stream_set_merge,
+    )
+
+    # sets
+    src = tmp_path / "set_in"
+    rows = [("m", ["a", "b"], TS), ("m", ["b", "c"], TS)]
+    spark.createDataFrame(
+        rows, "name string, set_values array<string>, ts timestamp"
+    ).write.mode("overwrite").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    sdf = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        stream_set_merge(sdf, "1 day", ["name"])
+        .writeStream.format("memory")
+        .queryName("set_stream_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("set_stream_t").collect()[0]
+    assert got.set_values == ["a", "b", "c"]
+
+    # distributions
+    src2 = tmp_path / "dist_in"
+    rows2 = [("m", [(1.0, 1)], "histogram", TS), ("m", [(3.0, 2)], "histogram", TS)]
+    spark.createDataFrame(
+        rows2,
+        "name string, samples array<struct<value:double,rate:bigint>>, "
+        "statistic string, ts timestamp",
+    ).write.mode("overwrite").parquet(str(src2))
+    schema2 = spark.read.parquet(str(src2)).schema
+    sdf2 = spark.readStream.schema(schema2).parquet(str(src2))
+    q2 = (
+        stream_distribution_merge(sdf2, "1 day", ["name"])
+        .writeStream.format("memory")
+        .queryName("dist_stream_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.table("dist_stream_t").collect()[0]
+    assert sorted(s.value for s in got2.samples) == [1.0, 3.0]

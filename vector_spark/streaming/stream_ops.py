@@ -132,6 +132,61 @@ def stream_histogram_merge(
     )
 
 
+def stream_distribution_merge(
+    df: DataFrame,
+    interval: str,
+    series_cols: list[str],
+    samples_col: str = "samples",
+    statistic_col: str = "statistic",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming Distribution merge (value.rs:217-228): samples
+    concatenate within (window, series, statistic) — a single
+    streaming aggregation (collect_list) + stateless flatten."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), interval), *series_cols, F.col(statistic_col)
+        )
+        .agg(F.flatten(F.collect_list(F.col(samples_col))).alias(samples_col))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *series_cols,
+            statistic_col,
+            samples_col,
+        )
+    )
+
+
+def stream_set_merge(
+    df: DataFrame,
+    interval: str,
+    series_cols: list[str],
+    values_col: str = "set_values",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming Set merge (value.rs:213-216): union of unique string
+    values per (window, series)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), interval), *series_cols)
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(F.col(values_col))))
+            ).alias(values_col)
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *series_cols,
+            values_col,
+        )
+    )
+
+
 def stream_throttle_state(
     df: DataFrame,
     threshold: int,
