@@ -139,3 +139,32 @@ def test_dd_condition_in_spec(spark, events_df):
         (F.col("event_type") == "error") & (F.col("value") >= 0)
     ).count()
     assert got == want > 0
+
+
+def test_from_toml(spark, events_df):
+    """TOML configs (the reference's vector.toml surface) compile to
+    the same DAG as dict specs."""
+    toml_text = '''
+[sources.ev]
+type = "injected"
+
+[transforms.flag]
+type = "remap"
+inputs = ["ev"]
+exprs.is_big = "value > 100"
+
+[transforms.router]
+type = "route"
+inputs = ["flag"]
+conditions.errors = "dd:event_type:error"
+conditions.big = "is_big"
+
+[transforms.big_errors]
+type = "filter"
+inputs = ["router.errors"]
+condition = "value > 100"
+'''
+    ports = Pipeline.from_toml(toml_text, spark).compile({"ev": events_df})
+    assert ports["router.errors"].count() == 2
+    assert ports["big_errors"].count() == 1
+    assert ports["router._unmatched"].count() > 0

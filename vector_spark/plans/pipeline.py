@@ -66,6 +66,25 @@ class Pipeline:
         self.spec = spec
         self.spark = spark
 
+    @classmethod
+    def from_toml(
+        cls, source: str, spark: SparkSession | None = None
+    ) -> "Pipeline":
+        """Load a spec from TOML — the reference's config surface
+        (vector.toml: [sources.X] / [transforms.Y] type/inputs
+        sections, e.g. regression/cases/*/vector/vector.toml). The
+        TOML table shape IS this compiler's spec shape; condition
+        strings may be SQL or 'dd:' search queries. `source` is a
+        path, or the TOML text itself when it contains a newline."""
+        import tomllib
+
+        if "\n" in source:
+            spec = tomllib.loads(source)
+        else:
+            with open(source, "rb") as f:
+                spec = tomllib.load(f)
+        return cls(spec, spark)
+
     def compile(
         self, inputs: Mapping[str, DataFrame] | None = None
     ) -> dict[str, DataFrame]:
