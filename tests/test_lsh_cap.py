@@ -72,3 +72,24 @@ def test_multiprobe_recall_monotone(spark):
     r1 = len(p1 & truth) / len(truth)
     assert r1 >= r0
     assert len(p1) >= len(p0)
+
+
+def test_enrich_cidr_longest_prefix(spark):
+    """Overlapping networks: assume_disjoint=False resolves by
+    longest prefix, like a routing table."""
+    from vector_spark.operators.enrich import enrich_cidr
+
+    facts = spark.createDataFrame(
+        [("10.1.2.3",), ("10.200.0.1",), ("192.168.1.1",)], "ip string"
+    )
+    dim = spark.createDataFrame(
+        [("10.0.0.0/8", "broad"), ("10.1.0.0/16", "specific")],
+        "cidr string, zone string",
+    )
+    out = {
+        r.ip: r.zone
+        for r in enrich_cidr(facts, dim, "ip", assume_disjoint=False).collect()
+    }
+    assert out["10.1.2.3"] == "specific"  # /16 beats /8
+    assert out["10.200.0.1"] == "broad"
+    assert out["192.168.1.1"] is None  # left-join miss

@@ -116,3 +116,53 @@ def load_enrichment_csv(
         else:
             raise ValueError(f"unknown enrichment schema type {kind!r} for {col!r}")
     return dim
+
+
+def enrich_cidr(
+    df: DataFrame,
+    dim: DataFrame,
+    ip_col: str,
+    cidr_col: str = "cidr",
+    how: str = "left",
+    assume_disjoint: bool = True,
+) -> DataFrame:
+    """CIDR-range enrichment — the geoip/network-table pattern
+    (src/enrichment_tables/geoip.rs semantics without the MaxMind db:
+    the lookup key is containment of the fact's IP in the dimension's
+    network). The dimension's 'a.b.c.d/len' strings become numeric
+    [net_lo, net_hi] bounds once, then a broadcast RANGE join probes
+    aton(ip) BETWEEN lo AND hi — no shuffle of the fact table, and
+    the probe stays in codegen.
+
+    With `assume_disjoint=True` (the default; geoip-style block
+    tables ARE disjoint) each fact row matches at most one network
+    and the plan is the pure broadcast join. Set it False for
+    routing-table-style dims with nested prefixes: most-specific
+    (longest prefix) wins via a row_number over a synthetic fact-row
+    id — one extra shuffle keyed on a long, only when you ask for
+    overlap resolution."""
+    from pyspark.sql import Window
+
+    from vector_spark.functions.vrl_compat import _cidr_mask, ip_aton
+
+    base = F.substring_index(F.col(cidr_col), "/", 1)
+    bits = F.substring_index(F.col(cidr_col), "/", -1).try_cast("int")
+    mask = _cidr_mask(bits)
+    d = dim.withColumn("__lo", ip_aton(base).bitwiseAND(mask)).withColumn(
+        "__hi", F.col("__lo") + (F.lit(4294967295) - mask)
+    ).withColumn("__bits", bits)
+    probe = ip_aton(F.col(ip_col))
+    if assume_disjoint:
+        return df.join(
+            F.broadcast(d), (probe >= d["__lo"]) & (probe <= d["__hi"]), how
+        ).drop("__lo", "__hi", "__bits")
+    fact = df.withColumn("__fid", F.monotonically_increasing_id())
+    joined = fact.join(
+        F.broadcast(d), (probe >= d["__lo"]) & (probe <= d["__hi"]), how
+    )
+    w = Window.partitionBy("__fid").orderBy(F.col("__bits").desc_nulls_last())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__lo", "__hi", "__bits", "__rn", "__fid")
+    )

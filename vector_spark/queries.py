@@ -1579,6 +1579,49 @@ FROM events
 """
 
 
+def q_op_enrich_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR-range enrichment (geoip.rs pattern): events mapped into
+    10.0.0.0/8 addresses, probed against a disjoint /10 network
+    dimension via a broadcast range join on the numeric bounds."""
+    from vector_spark.operators.enrich import enrich_cidr
+
+    ev = _tbl(spark, sf_dir, "events")
+    facts = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("10."),
+            F.pmod("user_id", F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod("event_id", F.lit(256)).cast("string"),
+            F.lit(".9"),
+        ).alias("ip"),
+    )
+    dim = spark.createDataFrame(
+        [
+            ("10.0.0.0/10", "zone-a"),
+            ("10.64.0.0/10", "zone-b"),
+            ("10.128.0.0/10", "zone-c"),
+            ("10.192.0.0/10", "zone-d"),
+        ],
+        "cidr string, zone string",
+    )
+    out = enrich_cidr(facts, dim, "ip")
+    return out.select("event_id", "ip", "zone")
+
+
+# the /10 split of 10.0.0.0/8 partitions on the second octet:
+# 0-63 -> a, 64-127 -> b, 128-191 -> c, 192-255 -> d
+SQL_OP_ENRICH_CIDR = """
+SELECT event_id,
+       concat('10.', CAST(user_id % 256 AS VARCHAR), '.',
+              CAST(event_id % 256 AS VARCHAR), '.9') AS ip,
+       CASE CAST((user_id % 256) // 64 AS INTEGER)
+            WHEN 0 THEN 'zone-a' WHEN 1 THEN 'zone-b'
+            WHEN 2 THEN 'zone-c' ELSE 'zone-d' END AS zone
+FROM events
+"""
+
+
 def q_op_agg_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-metric merge (value.rs:213-216): union of unique string
     values per (day window, series); rendered as a joined string so
@@ -1920,6 +1963,7 @@ QUERIES = {
     "op_parse_combined": q_op_parse_combined,
     "op_decode_statsd": q_op_decode_statsd,
     "op_decode_prometheus": q_op_decode_prometheus,
+    "op_enrich_cidr": q_op_enrich_cidr,
     "op_cardinality": q_op_cardinality,
     "op_line_agg": q_op_line_agg,
     "op_enrich_dim": q_op_enrich_dim,
@@ -1985,6 +2029,7 @@ ORACLES = {
     "op_parse_combined": SQL_OP_PARSE_COMBINED,
     "op_decode_statsd": SQL_OP_DECODE_STATSD,
     "op_decode_prometheus": SQL_OP_DECODE_PROMETHEUS,
+    "op_enrich_cidr": SQL_OP_ENRICH_CIDR,
     "op_cardinality": SQL_OP_CARDINALITY,
     "op_line_agg": SQL_OP_LINE_AGG,
     "op_enrich_dim": SQL_OP_ENRICH_DIM,
