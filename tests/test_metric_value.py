@@ -80,6 +80,22 @@ def test_distribution_merge_and_stats(spark):
     assert stats["q50"] == 3.0  # weighted median of [1,3,3]
 
 
+def test_distribution_zero_rate_sample_dropped(spark):
+    """A rate-0 sample must contribute NOTHING to the quantiles —
+    F.sequence(1, 0) is the descending [1, 0] trap that would
+    duplicate it instead."""
+    rows = [("m", [(100.0, 0), (1.0, 1), (3.0, 1)], "histogram", TS)]
+    df = spark.createDataFrame(
+        rows,
+        "name string, samples array<struct<value:double,rate:bigint>>, "
+        "statistic string, ts timestamp",
+    )
+    stats = distribution_stats(df, quantiles=[0.5, 1.0]).collect()[0]
+    # q100 (max over the weighted expansion) excludes the rate-0 100.0
+    assert stats["q100"] == 3.0
+    assert stats["q50"] == 1.0
+
+
 def test_set_merge(spark):
     rows = [("m", ["a", "b"], TS), ("m", ["b", "c"], TS)]
     df = spark.createDataFrame(

@@ -329,11 +329,25 @@ CASES = [
         ),
         "From: Hello, World! <hello_world@example.com>",
     ),
+    # NOT an encoded word (delimiters '=?'/'?=' are mandatory) —
+    # ordinary text with '?'s passes through untouched
+    (
+        "decode_mime_q_plain",
+        lambda: _fn("decode_mime_q")(L("who?utf-8?q?x?")),
+        "who?utf-8?q?x?",
+    ),
     # parse_query_string.rs
     (
         "parse_query_string",
         lambda: _fn("parse_query_string")(L("foo=1&bar=2")),
         {"foo": "1", "bar": "2"},
+    ),
+    # lenient like the reference: malformed percent-encoding keeps the
+    # raw token instead of erroring the stream (try_url_decode path)
+    (
+        "parse_query_string_bad_pct",
+        lambda: _fn("parse_query_string")(L("q=100%&ok=a%20b")),
+        {"q": "100%", "ok": "a b"},
     ),
     # format_int.rs (sign-preserving)
     ("format_int", lambda: _fn("format_int")(L(42), 16), "2a"),

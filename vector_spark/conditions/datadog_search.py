@@ -258,9 +258,10 @@ def _tokenize(q: str) -> list[_Tok]:
             end = min(x for x in (j, k) if x >= 0) if max(j, k) >= 0 else -1
             if end < 0:
                 raise ValueError(f"unterminated range in datadog query: {q!r}")
+            # mixed brackets are VALID (grammar.pest line 52 allows the
+            # opening and closing bracket independently): '[1 TO 5}'
+            # means gte 1 AND lt 5 — lo_inc/hi_inc are set separately.
             hi_inc = q[end] == "]"
-            if lo_inc != hi_inc:
-                raise ValueError("mixed range brackets are invalid (grammar.rs:246)")
             inner = q[i + 1 : end]
             parts = _re.split(r"\s+TO\s+", inner.strip())
             if len(parts) != 2:

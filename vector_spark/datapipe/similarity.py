@@ -70,6 +70,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     bucket_join: bool = True,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """All pairs (a<b) with cosine >= threshold. The DEFAULT is the
     bucketed scale path: comparison restricted to vectors sharing a
@@ -77,10 +78,26 @@ def cosine_near_dup_pairs(
     bucket instead of a cross join (recall < 1 by design: near-dups
     straddling a bucket boundary are missed; the knob is
     quantize_bucket's dims/scale). bucket_join=False is the exact
-    quadratic ground-truth path for small scale / oracle use."""
+    quadratic ground-truth path for small scale / oracle use.
+
+    `max_bucket` caps the degenerate-cell blowup (same mitigation as
+    minhash_dedup_pairs): a quantization cell holding B vectors —
+    e.g. near-zero embeddings all landing in one cell after
+    truncation/padding — makes B^2/2 candidate pairs; cells larger
+    than the cap are dropped from pairing (such a cell carries
+    near-zero information per pair). None disables. The DuckDB oracle
+    (queries.SQL_DP_COSINE_NEAR_DUP_BUCKETED) mirrors the cap so
+    engine/oracle stay byte-identical when a cell overflows."""
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if bucket_join:
         v = v.withColumn("bucket", quantize_bucket(F.col("vec")))
+        if max_bucket is not None:
+            bw = Window.partitionBy("bucket")
+            v = (
+                v.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+                .filter(F.col("__bsz") <= max_bucket)
+                .drop("__bsz")
+            )
         a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
         b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
@@ -131,6 +148,7 @@ def ann_bucketed_topk(
     vec_col: str = "embedding",
     k: int = 5,
     probes: int = 0,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Approximate top-k: candidates share one of the query's probe
     buckets (equi-join on bucket — shuffles by bucket, no cross
@@ -139,12 +157,22 @@ def ann_bucketed_topk(
     neighbor cells within +-p grid steps per dimension before the
     join (the vector side is never expanded, so the big table's scan
     and shuffle are unchanged). Returns (qid, vec_id, rank, sim);
-    recall < 1 by design, monotone in `probes`."""
+    recall < 1 by design, monotone in `probes`. `max_bucket` drops
+    degenerate quantization cells from the VECTOR side (same cap as
+    cosine_near_dup_pairs) so one overloaded cell can't absorb every
+    probe; None disables."""
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
         quantize_bucket(F.col(vec_col)).alias("bucket"),
     )
+    if max_bucket is not None:
+        bw = Window.partitionBy("bucket")
+        v = (
+            v.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),

@@ -222,14 +222,20 @@ def ipv6_to_ipv4(col: Column) -> Column:
 def parse_query_string(col: Column) -> Column:
     """parse_query_string.rs: 'foo=1&bar=2' -> map<string,string>,
     percent-decoded; a leading '?' is tolerated; keys without '='
-    get ''."""
+    get ''. Lenient like the reference: malformed percent-encoding
+    (e.g. 'q=100%') keeps the raw token instead of erroring the job
+    (try_url_decode -> NULL -> coalesce to raw)."""
     q = F.when(col.startswith("?"), F.substring(col, 2, 2_000_000)).otherwise(col)
     pairs = F.filter(F.split(q, "&"), lambda p: F.length(p) > 0)
+
+    def _dec(raw: Column) -> Column:
+        return F.coalesce(F.try_url_decode(raw), raw)
+
     entries = F.transform(
         pairs,
         lambda p: F.struct(
-            F.url_decode(F.substring_index(p, "=", 1)).alias("key"),
-            F.url_decode(
+            _dec(F.substring_index(p, "=", 1)).alias("key"),
+            _dec(
                 F.when(F.instr(p, "=") > 0, F.substr(p, F.instr(p, "=") + 1)).otherwise(
                     F.lit("")
                 )
@@ -435,7 +441,10 @@ def decode_mime_q(col: Column) -> Column:
         import quopri
         import re as _re
 
-        word = _re.compile(r"=?\?([^?]*)\?([bBqQ])\?([^?]*)\?=?")
+        # delimiters anchored literally: the '=?'/'?=' of an RFC 2047
+        # encoded-word are mandatory (optional '=' would swallow
+        # ordinary text like 'who?utf-8?q?x?')
+        word = _re.compile(r"=\?([^?]*)\?([bBqQ])\?([^?]*)\?=")
 
         def one(v):
             if v is None:

@@ -180,19 +180,19 @@ def distribution_stats(
     )
     other = [c for c in base.columns if c != samples_col]
     exploded = base.select(*other, F.explode(s).alias("__sm"))
-    qcols = [
-        F.percentile_approx(
-            F.col("__sm.value"), q, F.lit(10_000)
-        ).alias(f"q{int(q * 100)}")
-        for q in quantiles
-    ]
-    # rate-weighted: repeat value `rate` times via sequence explode
-    # only when rates > 1 exist; the common rate==1 path stays cheap
+    # rate-weighted quantiles: repeat value `rate` times via sequence
+    # explode. Guarded for rate < 1: F.sequence(1, 0) would yield the
+    # DESCENDING [1, 0] (duplicating a zero-rate sample); instead a
+    # rate-0 sample contributes nothing.
     weighted = exploded.select(
         *other,
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.col("__sm.rate")), lambda _: F.col("__sm.value")
+                F.when(
+                    F.col("__sm.rate") >= 1,
+                    F.sequence(F.lit(1).cast("bigint"), F.col("__sm.rate")),
+                ).otherwise(F.array().cast("array<bigint>")),
+                lambda _: F.col("__sm.value"),
             )
         ).alias("__v"),
     )

@@ -825,10 +825,15 @@ SQL_DP_MINHASH_LSH_PAIRS = (
     + _SHINGLES_HASHED_CTE
     + f""",
 sig AS (SELECT id, {_mh_sql_cols()} FROM sh GROUP BY id),
-buckets AS (
+buckets0 AS (
   SELECT id, 0 AS band, md5(concat_ws('_', CAST(mh0 AS VARCHAR), CAST(mh1 AS VARCHAR))) AS bucket FROM sig
   UNION ALL
   SELECT id, 1 AS band, md5(concat_ws('_', CAST(mh2 AS VARCHAR), CAST(mh3 AS VARCHAR))) AS bucket FROM sig),
+buckets AS (
+  SELECT id, band, bucket FROM (
+    SELECT id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM buckets0)
+  WHERE bsz <= 10000),
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
@@ -934,7 +939,10 @@ _BUCKET_SQL = "concat_ws('_', " + ", ".join(
 ) + ")"
 
 SQL_DP_ANN_BUCKETED = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {_BUCKET_SQL} AS bucket FROM embeddings),
+WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {_BUCKET_SQL} AS bucket FROM embeddings),
+v AS (SELECT vec_id, vv, bucket FROM (
+        SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM v0)
+      WHERE bsz <= 10000),
 q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, {_BUCKET_SQL} AS bucket
       FROM embeddings WHERE vec_id < 10),
 scored AS (
@@ -979,7 +987,10 @@ _PROBE_UNNESTS = ", ".join(
 )
 
 SQL_DP_ANN_MULTIPROBE = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {_BUCKET_SQL} AS bucket FROM embeddings),
+WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {_BUCKET_SQL} AS bucket FROM embeddings),
+v AS (SELECT vec_id, vv, bucket FROM (
+        SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM v0)
+      WHERE bsz <= 10000),
 q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, {_QDIMS_SQL}
        FROM embeddings WHERE vec_id < 5),
 probes AS (
@@ -1001,8 +1012,11 @@ FROM ranked WHERE rank <= 5
 
 
 SQL_DP_COSINE_NEAR_DUP_BUCKETED = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {_BUCKET_SQL} AS bucket
-           FROM embeddings),
+WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {_BUCKET_SQL} AS bucket
+            FROM embeddings),
+v AS (SELECT vec_id, vv, bucket FROM (
+        SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM v0)
+      WHERE bsz <= 10000),
 scored AS (
   SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
          round(list_dot_product(a.vv, b.vv) /
@@ -1797,10 +1811,15 @@ kept AS (SELECT d.doc_id, d.text FROM documents d JOIN ex ON d.doc_id = ex.keep_
     + _SHINGLES_HASHED_CTE.replace("FROM documents", "FROM kept").lstrip()
     + f""",
 sig AS (SELECT id, {_mh_sql_cols()} FROM sh GROUP BY id),
-buckets AS (
+buckets0 AS (
   SELECT id, 0 AS band, md5(concat_ws('_', CAST(mh0 AS VARCHAR), CAST(mh1 AS VARCHAR))) AS bucket FROM sig
   UNION ALL
   SELECT id, 1 AS band, md5(concat_ws('_', CAST(mh2 AS VARCHAR), CAST(mh3 AS VARCHAR))) AS bucket FROM sig),
+buckets AS (
+  SELECT id, band, bucket FROM (
+    SELECT id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM buckets0)
+  WHERE bsz <= 10000),
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
   FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
