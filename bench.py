@@ -87,6 +87,11 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "op_agg_histogram",
         "op_parse_combined",
         "op_route_ddsearch",
+        # round 3 additions
+        "op_parse_grok_aliases",
+        "op_decode_avro",
+        "op_decode_native_proto",
+        "op_cardinality",
     ]
     for name in secondary:
         fn = QUERIES[name]

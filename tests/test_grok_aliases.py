@@ -1,0 +1,133 @@
+"""Datadog grok user-defined aliases (parse_grok_rules.rs alias
+support), exercised with the reference flagship config's own alias
+map (regression/cases/http_pipelines_blackhole/vector/vector.toml:
+44-74): dotted alias + field names, aliases referencing aliases,
+lowercase Datadog matchers, parameterized regex()/date() matchers,
+filters declared inside alias definitions, and Datadog regex-literal
+pattern semantics ((?s), atomic groups, \\[ passing through)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from vector_spark.functions.grok import (
+    compile_grok,
+    grok_extract_typed,
+    parse_groks_pandas,
+)
+
+# The flagship config's alias map, TOML-unescaped.
+ALIASES = {
+    "access.common": (
+        r'%{_client_ip} %{_ident} %{_auth} \[%{_date_access}\] '
+        r'"(?>%{_method} |)%{_url}(?> %{_version}|)" %{_status_code} '
+        r'(?>%{_bytes_written}|-)'
+    ),
+    "access.combined": (
+        r'%{access.common} (%{number:duration:scale(1000000000)} )?'
+        r'"%{_referer}" "%{_user_agent}"( "%{_x_forwarded_for}")?.*'
+    ),
+    "_auth": r'%{notSpace:http.auth:nullIf("-")}',
+    "_bytes_written": r"%{integer:network.bytes_written}",
+    "_client_ip": r"%{ipOrHost:network.client.ip}",
+    "_version": r'HTTP\/%{regex("\d+\.\d+"):http.version}',
+    "_url": r"%{notSpace:http.url}",
+    "_ident": r'%{notSpace:http.ident:nullIf("-")}',
+    "_user_agent": r'%{regex("[^\"]*"):http.useragent}',
+    "_referer": r"%{notSpace:http.referer}",
+    "_status_code": r"%{integer:http.status_code}",
+    "_method": r"%{word:http.method}",
+    "_date_access": r'%{date("dd/MMM/yyyy:HH:mm:ss Z"):date_access}',
+    "_x_forwarded_for": r'%{regex("[^\"]*"):http._x_forwarded_for:nullIf("-")}',
+}
+
+ACCESS_LINE = (
+    '10.2.3.4 - frank [10/Oct/2023:13:55:36 -0700] '
+    '"GET /index.html HTTP/1.1" 200 2326'
+)
+COMBINED_LINE = (
+    ACCESS_LINE + ' "http://ref.example.com/" "Mozilla/5.0 (X11)" "203.0.113.9"'
+)
+
+
+def test_alias_compile_fields_and_filters():
+    rx, fields, filters = compile_grok(
+        "(?s)%{access.common}", aliases=ALIASES, literal_text=False
+    )
+    assert fields == [
+        "network.client.ip", "http.ident", "http.auth", "date_access",
+        "http.method", "http.url", "http.version", "http.status_code",
+        "network.bytes_written",
+    ]
+    # filters surfaced from INSIDE alias definitions
+    assert filters["http.auth"] == 'nullIf("-")'
+    assert filters["http.status_code"] == "integer"
+    m = re.fullmatch(rx, ACCESS_LINE)
+    assert m
+    # dotted fields map to sanitized group names
+    assert m.group("network_client_ip") == "10.2.3.4"
+    assert m.group("http_status_code") == "200"
+    assert m.group("date_access") == "10/Oct/2023:13:55:36 -0700"
+
+
+def test_alias_of_alias_combined():
+    rx, fields, _ = compile_grok(
+        "(?s)%{access.combined}", aliases=ALIASES, literal_text=False
+    )
+    m = re.fullmatch(rx, COMBINED_LINE)
+    assert m
+    assert m.group("http_useragent") == "Mozilla/5.0 (X11)"
+    assert m.group("http__x_forwarded_for") == "203.0.113.9"
+
+
+def test_typed_extraction_with_aliases(spark):
+    df = spark.createDataFrame(
+        [(ACCESS_LINE,), ('1.2.3.4 - - [10/Oct/2023:13:55:36 -0700] "GET /x HTTP/1.0" 404 -',)],
+        "line string",
+    )
+    out = df.select(
+        grok_extract_typed(
+            F.col("line"), "(?s)%{access.common}", engine="pandas",
+            aliases=ALIASES, literal_text=False,
+        ).alias("g")
+    ).select("g.*")
+    rows = out.collect()
+    assert rows[0]["http.status_code"] == 200  # integer filter applied
+    assert rows[0]["http.auth"] == "frank"
+    assert rows[1]["http.auth"] is None  # nullIf("-") inside alias
+    assert rows[1]["network.bytes_written"] is None  # (?>...|-) alternative
+
+
+def test_parse_groks_with_aliases_first_match(spark):
+    """The flagship's 3-pattern nginx chain: access lines hit the
+    combined/common patterns, error lines hit the error pattern."""
+    error_line = "2023/10/10 13:55:36 [error] open() failed, no such file"
+    patterns = [
+        "(?s)%{access.combined}",
+        "(?s)%{access.common}",
+        r'(?s)%{date("yyyy/MM/dd HH:mm:ss"):date_access} \[%{word:level}\] %{data:error.message}(, %{data::keyvalue(": ",",")})?',
+    ]
+    df = spark.createDataFrame(
+        [(COMBINED_LINE,), (ACCESS_LINE,), (error_line,)], "line string"
+    )
+    out = df.select(
+        parse_groks_pandas(
+            F.col("line"), patterns, aliases=ALIASES, literal_text=False
+        ).alias("g")
+    ).select("g.*")
+    rows = out.collect()
+    assert rows[0]["http.useragent"] == "Mozilla/5.0 (X11)"
+    assert rows[1]["network.client.ip"] == "10.2.3.4"
+    assert rows[1]["http.useragent"] is None
+    assert rows[2]["level"] == "error"
+    assert rows[2]["error.message"].startswith("open() failed")
+
+
+def test_date_matcher_formats():
+    rx, _, _ = compile_grok(
+        '%{date("yyyy/MM/dd HH:mm:ss"):d}', literal_text=False
+    )
+    assert re.fullmatch(rx, "2023/10/10 13:55:36")
+    assert not re.fullmatch(rx, "2023-10-10 13:55:36")

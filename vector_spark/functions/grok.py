@@ -99,28 +99,238 @@ GROK_PATTERNS: dict[str, str] = {
     "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
 }
 
-# %{SYNTAX}, %{SYNTAX:name}, or %{SYNTAX:name:filter} — the 3rd
-# segment is the Datadog grok filter (:integer, :number,
-# :nullIf("-"), :lowercase, ... lib/datadog/grok/src/filters/)
-_CAPTURE = re.compile(r"%\{(\w+)(?::(\w+))?(?::([^}]+))?\}")
-
 _MAX_DEPTH = 20
 
+# Datadog grok matchers (lib/datadog/grok/src/matchers/): lowercase
+# names, mapped onto the standard grok table where the semantics
+# coincide. regex("...") and date("...") are parameterized and
+# handled in _matcher_regex.
+_DD_TO_GROK: dict[str, str] = {
+    "notSpace": "NOTSPACE",
+    "space": "SPACE",
+    "data": "DATA",
+    "word": "WORD",
+    "integer": "INT",
+    "integerExt": "INT",
+    "number": "NUMBER",
+    "numberExt": "BASE10NUM",
+    "ip": "IP",
+    "ipv4": "IPV4",
+    "ipv6": "IPV6",
+    "hostname": "HOSTNAME",
+    "ipOrHost": "IPORHOST",
+    "port": "POSINT",
+    "doubleQuotedString": "QUOTEDSTRING",
+    "singleQuotedString": "QUOTEDSTRING",
+    "uuid": "UUID",
+    "mac": "MAC",
+    "boolean": "LOGBOOL",
+}
+GROK_PATTERNS["LOGBOOL"] = r"(?:[Tt]rue|TRUE|[Ff]alse|FALSE)"
 
-def grok_to_regex(pattern: str, flavor: str = "python") -> tuple[str, list[str]]:
-    """Compile a grok pattern to (regex_with_named_groups, field_names).
+_MATCHER_CALL = re.compile(r"^(\w+)\((.*)\)$", re.S)
+
+# matchers whose TYPE travels with the matcher (no explicit filter
+# needed): %{integer:field} yields a bigint field
+_TYPED_MATCHERS = {
+    "integer": "integer",
+    "integerExt": "integer",
+    "number": "number",
+    "numberExt": "number",
+    "boolean": "boolean",
+}
+
+
+def _unquote(arg: str) -> str:
+    """Strip the surrounding double quotes of a matcher argument and
+    unescape the grammar's \\" / \\\\ escapes (other backslashes —
+    \\d etc. — pass through untouched)."""
+    arg = arg.strip()
+    if len(arg) >= 2 and arg[0] == '"' and arg[-1] == '"':
+        arg = arg[1:-1]
+    return re.sub(r'\\(["\\])', r"\1", arg)
+
+
+def _date_format_regex(fmt: str) -> str:
+    """Java SimpleDateFormat-ish date() matcher format -> matching
+    regex (the reference builds the matcher regex from the format the
+    same way, lib/datadog/grok/src/matchers/date.rs)."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c.isalpha():
+            j = i
+            while j < len(fmt) and fmt[j] == c:
+                j += 1
+            n = j - i
+            if c in "yYdHhmsS":
+                out.append(rf"\d{{{n}}}" if n > 1 else r"\d{1,2}")
+            elif c == "M":
+                out.append(r"[A-Za-z]{3,}" if n >= 3 else (r"\d{2}" if n == 2 else r"\d{1,2}"))
+            elif c == "E":
+                out.append(r"[A-Za-z]{3,}")
+            elif c == "Z":
+                out.append(r"(?:[+-]\d{4}|[+-]\d{2}:\d{2}|Z|[A-Z]{2,5})")
+            elif c == "z":
+                out.append(r"[A-Za-z][A-Za-z0-9/_+-]*")
+            elif c == "a":
+                out.append(r"[APap][Mm]")
+            else:
+                out.append(re.escape(c * n))
+            i = j
+        else:
+            out.append(re.escape(c))
+            i += 1
+    return "".join(out)
+
+
+def _sanitize_groups(fields: list[str]) -> list[str]:
+    """Dotted Datadog field names (network.client.ip) are not valid
+    regex group identifiers; map each field to a deterministic
+    sanitized group name (collision-safe, order-preserving)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for f in fields:
+        g = re.sub(r"\W", "_", f)
+        if not g or g[0].isdigit():
+            g = "f_" + g
+        while g in seen:
+            g += "_"
+        seen.add(g)
+        out.append(g)
+    return out
+
+
+def _scan_capture(pat: str, i: int) -> tuple[list[str], int]:
+    """Parse the %{...} capture starting at pat[i], splitting on
+    TOP-LEVEL ':' (quotes and parens shield — filters/matchers like
+    keyvalue(": ",",") and date("HH:mm") carry ':' inside args).
+    Returns ([matcher, name?, filter?], index_past_closing_brace)."""
+    j = i + 2
+    n = len(pat)
+    depth = 0
+    seg: list[str] = []
+    segs: list[str] = []
+    while j < n:
+        c = pat[j]
+        if c == '"':
+            seg.append(c)
+            j += 1
+            while j < n and pat[j] != '"':
+                if pat[j] == "\\" and j + 1 < n:
+                    seg.append(pat[j : j + 2])
+                    j += 2
+                else:
+                    seg.append(pat[j])
+                    j += 1
+            if j < n:
+                seg.append('"')
+                j += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "}" and depth == 0:
+            segs.append("".join(seg))
+            return segs, j + 1
+        elif c == ":" and depth == 0:
+            segs.append("".join(seg))
+            seg = []
+            j += 1
+            continue
+        seg.append(c)
+        j += 1
+    raise ValueError(f"unterminated %{{...}} capture in grok pattern: {pat!r}")
+
+
+def _capture_indices(regex: str) -> dict[str, int]:
+    """Map named-group name -> 1-based numeric group index, counting
+    EVERY capturing group (raw parens from Datadog regex-literal
+    patterns included). Skips escapes and char classes; lookbehinds
+    ((?<= / (?<!) are not groups."""
+    idx: dict[str, int] = {}
+    counter = 0
+    i = 0
+    in_class = False
+    n = len(regex)
+    while i < n:
+        c = regex[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            nxt = regex[i + 1 : i + 2]
+            if nxt != "?":
+                counter += 1
+            elif regex[i + 2 : i + 3] == "<" and regex[i + 3 : i + 4] not in ("=", "!"):
+                counter += 1
+                m = re.match(r"\?<(\w+)>", regex[i + 1 :])
+                if m:
+                    idx[m.group(1)] = counter
+        i += 1
+    return idx
+
+
+def _anchor(rx: str) -> str:
+    """Wrap ^...$ while keeping leading global inline flags ((?s) etc.)
+    at the very start — Python 3.11+ rejects '^(?s)...'."""
+    m = re.match(r"^((?:\(\?[aiLmsux]+\))+)", rx)
+    if m:
+        return f"{m.group(1)}^{rx[m.end():]}$"
+    return f"^{rx}$"
+
+
+def compile_grok(
+    pattern: str,
+    flavor: str = "python",
+    aliases: dict[str, str] | None = None,
+    literal_text: bool = True,
+) -> tuple[str, list[str], dict[str, str]]:
+    """Compile a grok pattern to (regex, field_names, filters).
 
     Pattern references expand RECURSIVELY (composites like
     %{COMBINEDAPACHELOG} carry named captures in their definitions);
     field names are collected in group-appearance order, which is what
     lets the java flavor address them by group index. Literal text is
     regex-escaped. Unnamed captures match without capturing. flavor:
-    'python' emits (?P<name>...), 'java' emits plain numbered groups
-    and avoids escaping characters Java's Pattern rejects escaped.
-    Filters (3rd segment) are IGNORED here — grok_extract_typed applies
-    them as typed Column post-processing.
+    'python' emits (?P<name>...) with SANITIZED group names (see
+    _sanitize_groups — dotted Datadog fields), 'java' emits plain
+    numbered groups and avoids escaping characters Java's Pattern
+    rejects escaped.
+
+    `aliases` is the Datadog parse_groks alias map
+    (lib/datadog/grok/src/parse_grok_rules.rs; exercised by the
+    flagship config regression/cases/http_pipelines_blackhole/vector/
+    vector.toml:44-74): user-defined named sub-patterns — names may
+    contain dots — whose definitions may reference builtin matchers
+    AND other aliases, and may carry their own %{matcher:field:filter}
+    captures; those nested fields and filters surface in the result.
+    Matchers support the Datadog lowercase table (_DD_TO_GROK) plus
+    parameterized regex("...") and date("format").
+
+    `literal_text=True` (the classic-grok default here) regex-escapes
+    the pattern's literal text; False is the DATADOG semantics
+    (lib/datadog/grok/src/parse_grok_rules.rs): the pattern IS a
+    regex with %{} insertions — '(?s)', atomic groups '(?>...)' and
+    '\\[' pass through. Alias definitions always use regex semantics.
+
+    Filters (3rd segment) are collected, not applied —
+    grok_extract_typed applies them as typed Column post-processing.
     """
     fields: list[str] = []
+    filters: dict[str, str] = {}
+    aliases = aliases or {}
 
     def esc(lit: str) -> str:
         if flavor == "java":
@@ -129,50 +339,93 @@ def grok_to_regex(pattern: str, flavor: str = "python") -> tuple[str, list[str]]
             return re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\1", lit)
         return re.escape(lit)
 
+    def matcher_regex(matcher: str, depth: int) -> str:
+        if matcher in aliases:
+            # alias definitions are grok patterns: literals inside are
+            # already regex syntax (the reference treats them as such)
+            return expand(aliases[matcher], depth + 1, False)
+        m = _MATCHER_CALL.match(matcher)
+        if m and m.group(1) == "regex":
+            return f"(?:{_unquote(m.group(2))})"
+        if m and m.group(1) == "date":
+            return f"(?:{_date_format_regex(_unquote(m.group(2)))})"
+        key = matcher if matcher in GROK_PATTERNS else _DD_TO_GROK.get(matcher)
+        if key is None:
+            raise ValueError(f"unknown grok syntax %{{{matcher}}}")
+        return expand(GROK_PATTERNS[key], depth + 1, False)
+
     def expand(pat: str, depth: int, escape_literals: bool) -> str:
         if depth > _MAX_DEPTH:
             raise ValueError("grok expansion too deep (cycle?)")
         out: list[str] = []
         pos = 0
-        for m in _CAPTURE.finditer(pat):
-            lit = pat[pos : m.start()]
+        while True:
+            k = pat.find("%{", pos)
+            if k < 0:
+                break
+            lit = pat[pos:k]
             out.append(esc(lit) if escape_literals else lit)
-            syntax, name = m.group(1), m.group(2)
-            if syntax not in GROK_PATTERNS:
-                raise ValueError(f"unknown grok syntax %{{{syntax}}}")
-            # definitions are regex fragments: literals inside them are
-            # already regex syntax, don't re-escape. The OUTER name is
-            # appended before expanding the definition: group indices
-            # follow '(' appearance order (the outer group's paren
-            # precedes any nested composite captures), and the java
-            # flavor addresses groups by that index.
+            segs, end = _scan_capture(pat, k)
+            matcher = segs[0]
+            name = segs[1] if len(segs) > 1 and segs[1] else None
+            filt = segs[2] if len(segs) > 2 and segs[2] else None
+            # The OUTER name is appended before expanding the
+            # definition: group indices follow '(' appearance order
+            # (the outer group's paren precedes any nested composite
+            # captures), and the java flavor addresses groups by that
+            # index.
             if name:
                 fields.append(name)
-                sub = expand(GROK_PATTERNS[syntax], depth + 1, False)
+                if filt:
+                    filters[name] = filt
+                elif matcher in _TYPED_MATCHERS:
+                    # Datadog matchers carry implied types
+                    # (matchers/mod.rs): %{integer:f} coerces like an
+                    # explicit :integer filter would
+                    filters[name] = _TYPED_MATCHERS[matcher]
+                gname = _sanitize_groups(fields)[-1]
+                sub = matcher_regex(matcher, depth)
+                # java flavor: named groups too ((?<gN>, java-legal
+                # names) so extract sites can recover the true numeric
+                # index even when raw pattern parens add groups
                 group = (
-                    f"(?P<{name}>{sub})" if flavor == "python" else f"({sub})"
+                    f"(?P<{gname}>{sub})"
+                    if flavor == "python"
+                    else f"(?<g{len(fields)}>{sub})"
                 )
                 out.append(group)
             else:
-                sub = expand(GROK_PATTERNS[syntax], depth + 1, False)
-                out.append(f"(?:{sub})")
-            pos = m.end()
+                # empty-name captures (%{data::keyvalue(...)}) match
+                # without capturing; their filter has no field to bind
+                out.append(f"(?:{matcher_regex(matcher, depth)})")
+            pos = end
         tail = pat[pos:]
         out.append(esc(tail) if escape_literals else tail)
         return "".join(out)
 
-    return expand(pattern, 0, True), fields
+    return expand(pattern, 0, literal_text), fields, filters
 
 
-def grok_filters(pattern: str) -> dict[str, str]:
+def grok_to_regex(
+    pattern: str,
+    flavor: str = "python",
+    aliases: dict[str, str] | None = None,
+    literal_text: bool = True,
+) -> tuple[str, list[str]]:
+    """Compile a grok pattern to (regex_with_named_groups, field_names).
+    See compile_grok for expansion/alias/filter semantics."""
+    regex, fields, _ = compile_grok(
+        pattern, flavor=flavor, aliases=aliases, literal_text=literal_text
+    )
+    return regex, fields
+
+
+def grok_filters(pattern: str, aliases: dict[str, str] | None = None) -> dict[str, str]:
     """Extract the Datadog-style per-field filters from a grok pattern:
-    {'status': 'integer', 'bytes': 'nullIf("-")', ...}."""
-    out: dict[str, str] = {}
-    for m in _CAPTURE.finditer(pattern):
-        name, filt = m.group(2), m.group(3)
-        if name and filt:
-            out[name] = filt
-    return out
+    {'status': 'integer', 'bytes': 'nullIf("-")', ...} — including
+    filters declared inside alias definitions."""
+    _, _, filters = compile_grok(pattern, aliases=aliases)
+    return filters
 
 
 _NULLIF_RX = re.compile(r'^nullIf\(\s*"((?:\\.|[^"])*)"\s*\)$')
@@ -203,19 +456,32 @@ def apply_grok_filter(col: Column, filt: str) -> Column:
 
 
 def grok_extract_typed(
-    col: Column, grok_pattern: str, engine: str = "native", anchored: bool = True
+    col: Column,
+    grok_pattern: str,
+    engine: str = "native",
+    anchored: bool = True,
+    aliases: dict[str, str] | None = None,
+    literal_text: bool = True,
 ) -> Column:
     """%{SYNTAX:name:filter} patterns -> struct with the filters
     applied as typed Columns (parity: Datadog grok's filter chain,
     applied after the regex match like the reference's
-    apply_filter)."""
-    filters = grok_filters(grok_pattern)
-    base = (
-        grok_extract_native(col, grok_pattern, anchored=anchored)
-        if engine == "native"
-        else grok_extract_pandas(col, grok_pattern, anchored=anchored)
+    apply_filter). Filters declared inside alias definitions apply
+    too."""
+    _, fields, filters = compile_grok(
+        grok_pattern, aliases=aliases, literal_text=literal_text
     )
-    _, fields = grok_to_regex(grok_pattern)
+    base = (
+        grok_extract_native(
+            col, grok_pattern, anchored=anchored, aliases=aliases,
+            literal_text=literal_text,
+        )
+        if engine == "native"
+        else grok_extract_pandas(
+            col, grok_pattern, anchored=anchored, aliases=aliases,
+            literal_text=literal_text,
+        )
+    )
     parts = []
     for f in fields:
         v = base[f]
@@ -225,18 +491,25 @@ def grok_extract_typed(
     return F.struct(*parts)
 
 
-def parse_groks_pandas(col: Column, grok_patterns: list[str]) -> Column:
+def parse_groks_pandas(
+    col: Column,
+    grok_patterns: list[str],
+    aliases: dict[str, str] | None = None,
+    literal_text: bool = True,
+) -> Column:
     """VRL parse_groks (lib/vrl/stdlib/src/parse_groks.rs): try each
     pattern IN ORDER, first match wins. One Arrow crossing total: a
     single pandas UDF walks the pattern list per batch, extracting
     only over still-unmatched rows (the common case resolves on the
     first pattern, so later regexes see shrinking inputs). Output is
-    the union of all patterns' fields; unmatched rows are all-NULL."""
+    the union of all patterns' fields; unmatched rows are all-NULL.
+    `aliases` is the Datadog user-defined alias map (applied to every
+    pattern, like the reference's per-call aliases argument)."""
     compiled = []
     all_fields: list[str] = []
     for p in grok_patterns:
-        rx, fields = grok_to_regex(p)
-        compiled.append((re.compile(f"^{rx}$"), fields))
+        rx, fields = grok_to_regex(p, aliases=aliases, literal_text=literal_text)
+        compiled.append((re.compile(_anchor(rx)), list(zip(fields, _sanitize_groups(fields)))))
         for f in fields:
             if f not in all_fields:
                 all_fields.append(f)
@@ -247,23 +520,32 @@ def parse_groks_pandas(col: Column, grok_patterns: list[str]) -> Column:
             {f: pd.Series([None] * len(s), index=s.index, dtype=object) for f in all_fields}
         )
         remaining = s.notna()
-        for rx, fields in compiled:
+        for rx, field_groups in compiled:
             if not remaining.any():
                 break
             sub = s[remaining]
             matched = sub.str.match(rx).fillna(False)
             if not matched.any():
                 continue
+            # str.extract returns EVERY capture group (raw pattern
+            # parens included) — address the declared fields by their
+            # SANITIZED group name, never by position
             hit = sub[matched].str.extract(rx)
-            for f in fields:
-                out.loc[hit.index, f] = hit[f].where(pd.notna(hit[f]), None)
+            for f, g in field_groups:
+                out.loc[hit.index, f] = hit[g].where(pd.notna(hit[g]), None)
             remaining.loc[hit.index] = False
         return out
 
     return pandas_udf(extract, schema).asNondeterministic()(col)
 
 
-def grok_extract_pandas(col: Column, grok_pattern: str, anchored: bool = True) -> Column:
+def grok_extract_pandas(
+    col: Column,
+    grok_pattern: str,
+    anchored: bool = True,
+    aliases: dict[str, str] | None = None,
+    literal_text: bool = True,
+) -> Column:
     """struct<field:string,...> of named captures; all-NULL fields on
     no-match.
 
@@ -272,9 +554,12 @@ def grok_extract_pandas(col: Column, grok_pattern: str, anchored: bool = True) -
     Arrow struct batch — zero per-row Python. This is the parse hot
     path; benchmarked ~10x the dict-building row-wise variant.
     """
-    regex, fields = grok_to_regex(grok_pattern)
+    regex, fields = grok_to_regex(
+        grok_pattern, aliases=aliases, literal_text=literal_text
+    )
+    groups = _sanitize_groups(fields)
     if anchored:
-        regex = f"^{regex}$"
+        regex = _anchor(regex)
     schema = T.StructType([T.StructField(f, T.StringType()) for f in fields])
 
     # engine selection happens ONCE on the driver: pyarrow's
@@ -317,7 +602,10 @@ def grok_extract_pandas(col: Column, grok_pattern: str, anchored: bool = True) -
             valid = st.is_valid()
             none = pa.scalar(None, type=pa.string())
             return pd.DataFrame(
-                {f: pc.if_else(valid, st.field(f), none).to_pandas() for f in fields}
+                {
+                    f: pc.if_else(valid, st.field(g), none).to_pandas()
+                    for f, g in zip(fields, groups)
+                }
             )
         compiled = re.compile(regex)
         # pandas fallback: callers gate the input per template
@@ -328,6 +616,11 @@ def grok_extract_pandas(col: Column, grok_pattern: str, anchored: bool = True) -
             out = s.str.extract(compiled)
         else:
             out = sub.str.extract(compiled).reindex(s.index)
+        # str.extract returns EVERY capture group (raw pattern parens
+        # included); select the declared fields by sanitized group
+        # name and restore the original (possibly dotted) field names
+        out = out[groups]
+        out.columns = list(fields)
         return out.where(pd.notna(out), None)
 
     # asNondeterministic is a pure optimizer fence: the UDF IS
@@ -339,18 +632,28 @@ def grok_extract_pandas(col: Column, grok_pattern: str, anchored: bool = True) -
     return pandas_udf(extract, schema).asNondeterministic()(col)
 
 
-def grok_extract_native(col: Column, grok_pattern: str, anchored: bool = True) -> Column:
+def grok_extract_native(
+    col: Column,
+    grok_pattern: str,
+    anchored: bool = True,
+    aliases: dict[str, str] | None = None,
+    literal_text: bool = True,
+) -> Column:
     """struct<field:string,...> of named captures via JVM
     regexp_extract (stays inside whole-stage codegen). Non-matching
     rows produce a struct of NULLs."""
-    regex, fields = grok_to_regex(grok_pattern, flavor="java")
+    regex, fields = grok_to_regex(
+        grok_pattern, flavor="java", aliases=aliases, literal_text=literal_text
+    )
     if anchored:
-        regex = f"^{regex}$"
-    # regexp_extract uses numbered groups; named groups are also numbered
-    # in order of appearance.
+        regex = _anchor(regex)
+    # regexp_extract addresses groups by number; the compiler names
+    # OUR field groups (?<gN>...) so their true numeric indices can be
+    # recovered even when raw pattern parens contribute extra groups
+    indices = _capture_indices(regex)
     parts = []
     for i, name in enumerate(fields, start=1):
-        v = F.regexp_extract(col, regex, i)
+        v = F.regexp_extract(col, regex, indices[f"g{i}"])
         # regexp_extract returns '' on no-match; normalize to NULL
         parts.append(F.when(col.rlike(regex), v).alias(name))
     return F.struct(*parts)

@@ -57,7 +57,7 @@ def _grok(col, pattern):
 VRL: dict[str, VrlFn] = {
     # --- parsing ---------------------------------------------------------
     "parse_grok": VrlFn("udf", "grok.grok_extract_pandas (compiled regex, Arrow)", _grok),
-    "parse_groks": VrlFn("udf", "grok.parse_groks_pandas (first-match-wins, one Arrow crossing)", lambda c, ps: __import__("vector_spark.functions.grok", fromlist=["parse_groks_pandas"]).parse_groks_pandas(c, ps)),
+    "parse_groks": VrlFn("udf", "grok.parse_groks_pandas (first-match-wins, one Arrow crossing, aliases supported)", lambda c, ps, aliases=None, literal_text=True: __import__("vector_spark.functions.grok", fromlist=["parse_groks_pandas"]).parse_groks_pandas(c, ps, aliases=aliases, literal_text=literal_text)),
     "parse_regex": VrlFn("compose", "parse.parse_regex -> struct", parse_regex),
     "parse_regex_all": VrlFn("native", "F.regexp_extract_all", lambda c, r, i=1: F.regexp_extract_all(c, F.lit(r), i)),
     "parse_json": VrlFn("native", "F.from_json / get_json_object", parse_json_col),

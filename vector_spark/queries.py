@@ -1954,62 +1954,205 @@ FROM ids JOIN p USING (i)
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# round-3 additions: avro + protobuf-native codecs, Datadog grok
+# aliases, event-kind type-test routing
+# --------------------------------------------------------------------------
+
+_AVRO_EVENT_SCHEMA = (
+    '{"type":"record","name":"Event","fields":['
+    '{"name":"event_id","type":"long"},'
+    '{"name":"event_type","type":"string"},'
+    '{"name":"value","type":["null","double"]}]}'
+)
+
+
+def q_op_decode_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro binary round-trip over the events table: encode (pure
+    wire-spec encoder, sources/native_codecs.py) then decode; parity
+    holds iff every (long, string, nullable-double) survives the
+    byte-level round trip (IEEE doubles are bit-exact, so round(2)
+    matches the oracle's direct projection)."""
+    from vector_spark.sources.native_codecs import decode_avro, encode_avro
+
+    ev = _tbl(spark, sf_dir, "events")
+    enc = ev.select(
+        encode_avro(
+            _AVRO_EVENT_SCHEMA, F.col("event_id"), F.col("event_type"), F.col("value")
+        ).alias("payload")
+    )
+    dec = enc.select(decode_avro(F.col("payload"), _AVRO_EVENT_SCHEMA).alias("rec"))
+    return dec.select(
+        F.col("rec.event_id").alias("event_id"),
+        F.col("rec.event_type").alias("event_type"),
+        F.round(F.col("rec.value"), 2).alias("value"),
+    )
+
+
+SQL_OP_DECODE_AVRO = """
+SELECT event_id, event_type, round(value, 2) AS value FROM events
+"""
+
+
+def q_op_decode_native_proto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """protobuf `native` EventWrapper round-trip (hand-rolled proto3
+    wire format per lib/vector-core/proto/event.proto): map fields ->
+    Log message bytes -> map fields."""
+    from vector_spark.sources.native_codecs import (
+        decode_native_log,
+        encode_native_log,
+    )
+
+    ev = _tbl(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("id"), F.col("event_id").cast("string"),
+        F.lit("type"), F.col("event_type"),
+    )
+    enc = ev.select(encode_native_log(m).alias("payload"))
+    dec = enc.select(decode_native_log(F.col("payload")).alias("fields"))
+    return dec.select(
+        F.col("fields")["id"].cast("bigint").alias("event_id"),
+        F.col("fields")["type"].alias("event_type"),
+    )
+
+
+SQL_OP_DECODE_NATIVE_PROTO = """
+SELECT event_id, event_type FROM events
+"""
+
+
+# The reference flagship config's user-defined grok alias map
+# (regression/cases/http_pipelines_blackhole/vector/vector.toml:44-74,
+# TOML-unescaped) — dotted alias/field names, aliases referencing
+# aliases, Datadog matchers, regex()/date() params, in-alias filters.
+_DD_ALIASES = {
+    "access.common": (
+        r'%{_client_ip} %{_ident} %{_auth} \[%{_date_access}\] '
+        r'"(?>%{_method} |)%{_url}(?> %{_version}|)" %{_status_code} '
+        r'(?>%{_bytes_written}|-)'
+    ),
+    "_auth": r'%{notSpace:http.auth:nullIf("-")}',
+    "_bytes_written": r"%{integer:network.bytes_written}",
+    "_client_ip": r"%{ipOrHost:network.client.ip}",
+    "_version": r'HTTP\/%{regex("\d+\.\d+"):http.version}',
+    "_url": r"%{notSpace:http.url}",
+    "_ident": r'%{notSpace:http.ident:nullIf("-")}',
+    "_status_code": r"%{integer:http.status_code}",
+    "_method": r"%{word:http.method}",
+    "_date_access": r'%{date("dd/MMM/yyyy:HH:mm:ss Z"):date_access}',
+}
+
+
+def q_op_parse_grok_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datadog grok ALIAS path end-to-end at table scale: synthesize
+    an nginx access line per event row, parse it with the flagship
+    config's alias map (%{access.common} -> aliases-of-aliases ->
+    Datadog matchers), and emit the typed fields. One Arrow crossing
+    (grok_extract_typed pandas engine)."""
+    from vector_spark.functions.grok import grok_extract_typed
+
+    ev = _tbl(spark, sf_dir, "events")
+    ip = F.concat(F.lit("10.0.0."), (F.pmod(F.col("event_id"), F.lit(200)) + 1))
+    auth = F.when(F.pmod(F.col("event_id"), F.lit(5)) == 0, F.lit("-")).otherwise(
+        F.concat(F.lit("u"), F.col("user_id"))
+    )
+    status = (F.lit(200) + F.pmod(F.col("event_id"), F.lit(3)) * 100).cast("int")
+    nbytes = F.round(F.col("value") * 100, 0).cast("bigint")
+    bytes_s = F.when(F.pmod(F.col("event_id"), F.lit(7)) == 0, F.lit("-")).otherwise(
+        nbytes.cast("string")
+    )
+    line = F.concat_ws(
+        " ",
+        ip, F.lit("-"), auth,
+        F.lit("[10/Oct/2023:13:55:36 -0700]"),
+        F.concat(F.lit('"GET /p/'), F.col("event_id"), F.lit(' HTTP/1.1"')),
+        status.cast("string"), bytes_s,
+    )
+    st = grok_extract_typed(
+        line, "(?s)%{access.common}", engine="pandas",
+        aliases=_DD_ALIASES, literal_text=False,
+    )
+    return ev.select(F.col("event_id"), st.alias("g")).select(
+        "event_id",
+        F.col("g")["network.client.ip"].alias("client_ip"),
+        F.col("g")["http.auth"].alias("auth"),
+        F.col("g")["http.status_code"].cast("bigint").alias("status"),
+        F.col("g")["network.bytes_written"].cast("bigint").alias("bytes"),
+        F.col("g")["http.url"].alias("url"),
+    )
+
+
+SQL_OP_PARSE_GROK_ALIASES = """
+SELECT event_id,
+       '10.0.0.' || CAST(event_id % 200 + 1 AS VARCHAR) AS client_ip,
+       CASE WHEN event_id % 5 = 0 THEN NULL
+            ELSE 'u' || CAST(user_id AS VARCHAR) END AS auth,
+       CAST(200 + (event_id % 3) * 100 AS BIGINT) AS status,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(round(value * 100, 0) AS BIGINT) END AS bytes,
+       '/p/' || CAST(event_id AS VARCHAR) AS url
+FROM events
+"""
+
+
+def q_op_route_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-kind envelope + IsLog/IsMetric/IsTrace type-test
+    conditions (src/conditions/mod.rs:22-47) driving a route fan-out:
+    per-port row counts."""
+    from vector_spark.operators.event_kind import (
+        is_log,
+        is_metric,
+        is_trace,
+        tag_kind,
+        trace_from_log,
+    )
+    from vector_spark.operators.route import route as route_op
+
+    ev = _tbl(spark, sf_dir, "events")
+    logs = tag_kind(ev.filter(F.col("event_type") == "view"), "log")
+    metrics = tag_kind(ev.filter(F.col("event_type") == "purchase"), "metric")
+    traces = trace_from_log(ev.filter(~F.col("event_type").isin("view", "purchase")))
+    u = logs.unionByName(metrics).unionByName(traces)
+    ports = route_op(
+        u, {"logs": is_log(), "metrics": is_metric(), "traces": is_trace()},
+        cache=False,
+    )
+    counts = None
+    for name in ("logs", "metrics", "traces", "_unmatched"):
+        c = (
+            ports[name]
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("port"), F.col("n").cast("bigint").alias("n"))
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts
+
+
+SQL_OP_ROUTE_KIND = """
+SELECT 'logs' AS port, CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n FROM events
+UNION ALL
+SELECT 'metrics', CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) FROM events
+UNION ALL
+SELECT 'traces', CAST(count(*) FILTER (event_type NOT IN ('view','purchase')) AS BIGINT) FROM events
+UNION ALL
+SELECT '_unmatched', CAST(0 AS BIGINT)
+"""
+
+
+# Registry ORDER is the evidence-rotation policy: the driver's
+# correctness gate checks the FIRST 50 entries, so (1) queries that
+# are NEW or whose plan/oracle CHANGED this round come first, (2)
+# then queries the previous round's gate did not reach, (3) then the
+# stable remainder; the >50 tail holds only queries untouched this
+# round whose green evidence is freshest (previous round's gate).
 QUERIES = {
-    # flagship pipeline
-    "pipe_parse_typed": q_pipe_parse_typed,
-    "pipe_dropped": q_pipe_dropped,
-    "pipe_enrich_tools": q_pipe_enrich_tools,
-    "pipe_route_errors": _route_keys("errors"),
-    "pipe_route_tool_calls": _route_keys("tool_calls"),
-    "pipe_route_slow": _route_keys("slow"),
-    "pipe_route_unmatched": _route_keys("_unmatched"),
-    "pipe_agg_errors": q_pipe_agg_errors,
-    "pipe_agg_all": q_pipe_agg_all,
-    # operators over events
-    "op_filter": q_op_filter,
-    "op_remap_json": q_op_remap_json,
-    "op_sample_keyed": q_op_sample_keyed,
-    "op_dedupe": q_op_dedupe,
-    "op_reduce_daily": q_op_reduce_daily,
-    "op_agg_hourly": q_op_agg_hourly,
-    "op_throttle": q_op_throttle,
-    "op_route_events": q_op_route_events,
-    "op_route_ddsearch": q_op_route_ddsearch,
-    "op_agg_histogram": q_op_agg_histogram,
-    "op_log_to_metric_histogram": q_op_log_to_metric_histogram,
-    "op_agg_set": q_op_agg_set,
-    "op_decode_gelf": q_op_decode_gelf,
-    "op_parse_combined": q_op_parse_combined,
-    "op_decode_statsd": q_op_decode_statsd,
-    "op_decode_prometheus": q_op_decode_prometheus,
-    "op_enrich_cidr": q_op_enrich_cidr,
-    "op_cardinality": q_op_cardinality,
-    "op_line_agg": q_op_line_agg,
-    "op_enrich_dim": q_op_enrich_dim,
-    "op_log_to_metric": q_op_log_to_metric,
-    # analytics breadth
-    "tpch_q1": q_tpch_q1,
-    "orders_by_segment": q_orders_by_segment,
-    # training-data pipeline
-    "dp_exact_dedup": q_dp_exact_dedup,
-    "dp_token_count": q_dp_token_count,
-    "dp_quality": q_dp_quality,
-    "dp_lang_guess": q_dp_lang_guess,
-    "dp_minhash_sig": q_dp_minhash_sig,
-    "dp_jaccard_pairs": q_dp_jaccard_pairs,
-    "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
-    "dp_cosine_topk": q_dp_cosine_topk,
-    "dp_cosine_near_dup": q_dp_cosine_near_dup,
-    "dp_cosine_near_dup_bucketed": q_dp_cosine_near_dup_bucketed,
-    "dp_ann_bucketed": q_dp_ann_bucketed,
-    "dp_ann_multiprobe": q_dp_ann_multiprobe,
-    # operator breadth
-    "op_sample_counter": q_op_sample_counter,
-    "op_reduce_sessions": q_op_reduce_sessions,
-    "op_enrich_between": q_op_enrich_between,
-    "op_metric_to_log": q_op_metric_to_log,
-    "op_parse_syslog": q_op_parse_syslog,
-    "op_parse_access_log": q_op_parse_access_log,
+    # -- new this round (r3): codecs + grok aliases + event kinds
+    "op_decode_avro": q_op_decode_avro,
+    "op_decode_native_proto": q_op_decode_native_proto,
+    "op_parse_grok_aliases": q_op_parse_grok_aliases,
+    "op_route_kind": q_op_route_kind,
+    # -- unchecked in r2 (driver 50-query cap); re-evidence first
     "op_agg_salted": q_op_agg_salted,
     "op_aggregate_metrics": q_op_aggregate_metrics,
     "op_vrl_strings": q_op_vrl_strings,
@@ -2018,11 +2161,71 @@ QUERIES = {
     "dp_simhash": q_dp_simhash,
     "dp_clean_corpus": q_dp_clean_corpus,
     "mm_features_checked": q_mm_features_checked,
-    # rows-only
-    "mm_features": q_mm_features,
+    "mm_features": q_mm_features,  # rows-only
+    # -- plan or oracle changed in r3 (cardinality top-N, bucket caps)
+    "op_cardinality": q_op_cardinality,
+    "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
+    "dp_cosine_near_dup_bucketed": q_dp_cosine_near_dup_bucketed,
+    "dp_ann_bucketed": q_dp_ann_bucketed,
+    "dp_ann_multiprobe": q_dp_ann_multiprobe,
+    # -- grok compiler internals changed in r3; its consumers re-gate
+    "pipe_parse_typed": q_pipe_parse_typed,
+    "op_parse_combined": q_op_parse_combined,
+    "op_parse_syslog": q_op_parse_syslog,
+    "op_parse_access_log": q_op_parse_access_log,
+    # -- flagship pipeline
+    "pipe_dropped": q_pipe_dropped,
+    "pipe_enrich_tools": q_pipe_enrich_tools,
+    "pipe_route_errors": _route_keys("errors"),
+    "pipe_route_tool_calls": _route_keys("tool_calls"),
+    "pipe_route_slow": _route_keys("slow"),
+    "pipe_route_unmatched": _route_keys("_unmatched"),
+    "pipe_agg_errors": q_pipe_agg_errors,
+    "pipe_agg_all": q_pipe_agg_all,
+    # -- metric value types (distribution_stats guard landed in r3)
+    "op_agg_histogram": q_op_agg_histogram,
+    "op_log_to_metric_histogram": q_op_log_to_metric_histogram,
+    "op_agg_set": q_op_agg_set,
+    "op_log_to_metric": q_op_log_to_metric,
+    # -- stable operator coverage
+    "op_agg_hourly": q_op_agg_hourly,
+    "op_route_events": q_op_route_events,
+    "op_route_ddsearch": q_op_route_ddsearch,
+    "op_decode_gelf": q_op_decode_gelf,
+    "op_decode_statsd": q_op_decode_statsd,
+    "op_decode_prometheus": q_op_decode_prometheus,
+    "op_sample_counter": q_op_sample_counter,
+    "op_reduce_sessions": q_op_reduce_sessions,
+    # -- training-data pipeline
+    "dp_exact_dedup": q_dp_exact_dedup,
+    "dp_token_count": q_dp_token_count,
+    "dp_quality": q_dp_quality,
+    "dp_lang_guess": q_dp_lang_guess,
+    "dp_minhash_sig": q_dp_minhash_sig,
+    "dp_jaccard_pairs": q_dp_jaccard_pairs,
+    "dp_cosine_topk": q_dp_cosine_topk,
+    "dp_cosine_near_dup": q_dp_cosine_near_dup,
+    # ---- >50 tail: untouched in r3, all green in CORRECTNESS_r02 ----
+    "op_filter": q_op_filter,
+    "op_remap_json": q_op_remap_json,
+    "op_sample_keyed": q_op_sample_keyed,
+    "op_dedupe": q_op_dedupe,
+    "op_reduce_daily": q_op_reduce_daily,
+    "op_throttle": q_op_throttle,
+    "op_enrich_dim": q_op_enrich_dim,
+    "op_enrich_between": q_op_enrich_between,
+    "op_enrich_cidr": q_op_enrich_cidr,
+    "op_metric_to_log": q_op_metric_to_log,
+    "op_line_agg": q_op_line_agg,
+    "tpch_q1": q_tpch_q1,
+    "orders_by_segment": q_orders_by_segment,
 }
 
 ORACLES = {
+    "op_decode_avro": SQL_OP_DECODE_AVRO,
+    "op_decode_native_proto": SQL_OP_DECODE_NATIVE_PROTO,
+    "op_parse_grok_aliases": SQL_OP_PARSE_GROK_ALIASES,
+    "op_route_kind": SQL_OP_ROUTE_KIND,
     "pipe_parse_typed": SQL_PIPE_PARSE_TYPED,
     "pipe_dropped": SQL_PIPE_DROPPED,
     "pipe_enrich_tools": SQL_PIPE_ENRICH_TOOLS,
