@@ -479,7 +479,7 @@ def grok_extract_typed(
         if engine == "native"
         else grok_extract_pandas(
             col, grok_pattern, anchored=anchored, aliases=aliases,
-            literal_text=literal_text,
+            literal_text=literal_text, fence=False,
         )
     )
     parts = []
@@ -545,6 +545,7 @@ def grok_extract_pandas(
     anchored: bool = True,
     aliases: dict[str, str] | None = None,
     literal_text: bool = True,
+    fence: bool = True,
 ) -> Column:
     """struct<field:string,...> of named captures; all-NULL fields on
     no-match.
@@ -623,13 +624,22 @@ def grok_extract_pandas(
         out.columns = list(fields)
         return out.where(pd.notna(out), None)
 
-    # asNondeterministic is a pure optimizer fence: the UDF IS
-    # deterministic, but without it Catalyst's project-collapse inlines
-    # the call into any filter that references a derived column and the
-    # plan evaluates the SAME grok UDF in two ArrowEvalPython nodes
-    # (once for the parse_ok filter, once for the projection) — seen
-    # via .explain("formatted") on the fused pipeline.
-    return pandas_udf(extract, schema).asNondeterministic()(col)
+    # `fence` (asNondeterministic) is a pure optimizer fence: the UDF
+    # IS deterministic, but without it Catalyst's project-collapse
+    # inlines the call into any filter that references a derived
+    # column and the plan evaluates the SAME grok UDF in two
+    # ArrowEvalPython nodes (once for the parse_ok filter, once for
+    # the projection) — seen via .explain("formatted") on the fused
+    # pipeline. The fence CUTS THE OTHER WAY when the struct is
+    # referenced once per field (grok_extract_typed): nondeterministic
+    # expressions are never common-subexpression-eliminated, so N
+    # field accesses become N UDF evaluations. Rule: fence=True for
+    # single-reference + downstream-filter call sites (the flagship),
+    # fence=False for fan-out-into-fields call sites.
+    udf = pandas_udf(extract, schema)
+    if fence:
+        udf = udf.asNondeterministic()
+    return udf(col)
 
 
 def grok_extract_native(
