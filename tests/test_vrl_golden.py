@@ -21,6 +21,14 @@ Functions with golden parity here (4x: file citation in each case):
   sha3 decode_mime_q parse_query_string format_int to_syslog_facility
   chunks tally tally_value find parse_xml parse_ruby_hash
   parse_user_agent
+  (round 3) append push merge keys values map_keys map_values filter
+  map match_any match_array is_empty is_ipv4 is_json format_number
+  slice encode_json encode_key_value encode_logfmt to_timestamp now
+  uuid_v4 assert_eq unnest parse_common_log parse_apache_log
+  parse_nginx_log parse_syslog parse_linux_authorization parse_glog
+  parse_klog parse_cef parse_aws_vpc_flow_log parse_aws_alb_log
+  parse_grok parse_groks
+  — 103 functions with replayed parity
 
 Documented dialect divergences (asserted with translated inputs):
   * regex patterns/replacements are Java-dialect ((?<g>..)/$1) not
@@ -50,6 +58,33 @@ def _fn(name):
 
 
 L = F.lit
+
+# Reference example lines shared by the preset parse_* goldens
+_CLF_LINE = (
+    '127.0.0.1 bob frank [10/Oct/2000:13:55:36 -0700] '
+    '"GET /apache_pb.gif HTTP/1.0" 200 2326'
+)
+_NGINX_LINE = (
+    '203.0.113.9 - - [10/Oct/2000:13:55:36 -0700] '
+    '"GET /index.html HTTP/1.1" 404 153 '
+    '"http://example.com/start" "Mozilla/5.0 (X11; Linux)"'
+)
+_SYSLOG_LINE = "<34>Oct 11 22:14:15 mymachine su: 'su root' failed for lonvick"
+_GLOG_LINE = "E0210 13:55:36.123456  1234 server.cc:42] handler panicked: oom"
+_CEF_LINE = (
+    "CEF:0|Security|threatmanager|1.0|100|worm stopped|10|"
+    "src=10.0.0.1 dst=2.1.2.2 spt=1232"
+)
+_VPC_LINE = (
+    "2 123456789010 eni-1235b8ca 172.31.16.139 172.31.16.21 20641 22 6 "
+    "20 4249 1418530010 1418530070 ACCEPT OK"
+)
+_ALB_LINE = (
+    'https 2018-07-02T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 '
+    '192.168.131.39:2817 10.0.0.1:80 0.086 0.048 0.037 200 200 0 57 '
+    '"GET https://www.example.com:443/ HTTP/1.1" "curl/7.46.0" '
+    'ECDHE-RSA-AES128-GCM-SHA256 TLSv1.2'
+)
 
 # (case_id, column builder, expected) — citations name the stdlib file
 # whose Example block the case replays
@@ -437,6 +472,157 @@ CASES = [
     # expressions/arithmetic/{subtraction,multiplication,division}
     ("corpus_sub_int", lambda: L(2) - L(1), 1),
     ("corpus_mul_int", lambda: L(2) * L(2), 4),
+    # ---- round-3 golden growth: collection/object/type/preset fns ----
+    # append.rs
+    ("append", lambda: _fn("append")(F.array(L(0), L(1)), F.array(L(2), L(3))), [0, 1, 2, 3]),
+    # push.rs
+    ("push_item", lambda: _fn("push")(F.array(L("foo")), L("bar")), ["foo", "bar"]),
+    ("push_empty", lambda: _fn("push")(F.array().cast("array<string>"), L("bar")), ["bar"]),
+    # merge.rs (shallow merge: right side wins)
+    (
+        "merge_objects",
+        lambda: _fn("merge")(
+            F.create_map(L("a"), L(1), L("b"), L(2)),
+            F.create_map(L("b"), L(3), L("c"), L(4)),
+        ),
+        {"a": 1, "b": 3, "c": 4},
+    ),
+    # keys.rs / values.rs
+    ("keys", lambda: _fn("keys")(F.create_map(L("a"), L(1), L("b"), L(2))), ["a", "b"]),
+    ("values", lambda: _fn("values")(F.create_map(L("a"), L(1), L("b"), L(2))), [1, 2]),
+    # map_keys.rs
+    (
+        "map_keys",
+        lambda: _fn("map_keys")(F.create_map(L("a"), L(1), L("b"), L(2)), lambda k: F.upper(k)),
+        {"A": 1, "B": 2},
+    ),
+    # map_values.rs
+    (
+        "map_values",
+        lambda: _fn("map_values")(F.create_map(L("a"), L(1), L("b"), L(2)), lambda v: v + 1),
+        {"a": 2, "b": 3},
+    ),
+    # filter.rs (array form)
+    ("filter_array", lambda: _fn("filter")(F.array(L(1), L(2)), lambda v: v < 2), [1]),
+    # the -> |v| closure over arrays (VRL iteration; F.transform)
+    ("map_transform", lambda: _fn("map")(F.array(L(1), L(2)), lambda v: v * 2), [2, 4]),
+    # match_any.rs
+    ("match_any_hit", lambda: _fn("match_any")(L("foo bar baz"), ["foo", "123"]), True),
+    ("match_any_miss", lambda: _fn("match_any")(L("My name is John Doe"), [r"\d+", "Jane"]), False),
+    # match_array.rs
+    ("match_array_hit", lambda: _fn("match_array")(F.array(L("foobar"), L("bazqux")), "foo"), True),
+    ("match_array_miss", lambda: _fn("match_array")(F.array(L("bazqux"), L("xyz")), "foo"), False),
+    # is_empty.rs (string form)
+    ("is_empty_true", lambda: _fn("is_empty")(L("")), True),
+    ("is_empty_false", lambda: _fn("is_empty")(L("x")), False),
+    # is_ipv4.rs — this golden caught a REAL bug: the registry's regex
+    # was double-escaped (r"\\d") and never matched any address
+    ("is_ipv4_str", lambda: _fn("is_ipv4")(L("foobar")), False),
+    ("is_ipv4_hit", lambda: _fn("is_ipv4")(L("1.1.1.1")), True),
+    ("is_ipv4_v6", lambda: _fn("is_ipv4")(L("2001:0db8:85a3:0000:0000:8a2e:0370:7334")), False),
+    # is_json.rs
+    ("is_json_obj", lambda: _fn("is_json")(L("{}")), True),
+    ("is_json_scalar", lambda: _fn("is_json")(L('"test"')), True),
+    ("is_json_bad", lambda: _fn("is_json")(L("}{")), False),
+    # format_number.rs (grouping separators; Spark's format_number
+    # fixes ','/'.' — the reference example's custom separators are a
+    # documented divergence)
+    ("format_number", lambda: _fn("format_number")(L(1234567.89), 2), "1,234,567.89"),
+    # slice.rs (array start..end)
+    ("slice_array", lambda: _fn("slice")(F.array(L(0), L(1), L(2)), 1, 3), [1, 2]),
+    # encode_json.rs
+    ("encode_json", lambda: _fn("encode_json")(F.struct(L("value").alias("field"))), '{"field":"value"}'),
+    # encode_key_value.rs (sorted fields; value with spaces quoted)
+    (
+        "encode_key_value",
+        lambda: _fn("encode_key_value")(
+            F.create_map(
+                L("lvl"), L("info"), L("msg"), L("This is a message"), L("log_id"), L("12345")
+            )
+        ),
+        'log_id=12345 lvl=info msg="This is a message"',
+    ),
+    # encode_logfmt.rs (same layout as encode_key_value default)
+    (
+        "encode_logfmt",
+        lambda: _fn("encode_logfmt")(
+            F.create_map(
+                L("lvl"), L("info"), L("msg"), L("This is a message"), L("log_id"), L("12345")
+            )
+        ),
+        'log_id=12345 lvl=info msg="This is a message"',
+    ),
+    # to_timestamp.rs (timestamp-string form; int/float units are the
+    # from_unixtime mapping, covered by to_unix_timestamp inverses)
+    ("to_timestamp", lambda: _fn("to_timestamp")(L("2020-01-01 00:00:00")), datetime.datetime(2020, 1, 1)),
+    # now.rs (wall clock: shape check only)
+    ("now_positive", lambda: F.unix_timestamp(_fn("now")()) > 0, True),
+    # uuid_v4.rs (random: shape check only)
+    ("uuid_v4_shape", lambda: F.length(_fn("uuid_v4")()) == 36, True),
+    # assert_eq.rs (success is silent/NULL)
+    ("assert_eq", lambda: _fn("assert_eq")(L(1), L(1)), None),
+    # parse_common_log.rs example line
+    (
+        "parse_common_log_status",
+        lambda: _fn("parse_common_log")(L(_CLF_LINE))["status"],
+        200,
+    ),
+    ("parse_common_log_bytes", lambda: _fn("parse_common_log")(L(_CLF_LINE))["bytes"], 2326),
+    # parse_apache_log.rs (common format variant)
+    ("parse_apache_log_method", lambda: _fn("parse_apache_log")(L(_CLF_LINE))["method"], "GET"),
+    # parse_nginx_log.rs (combined format)
+    (
+        "parse_nginx_agent",
+        lambda: _fn("parse_nginx_log")(L(_NGINX_LINE))["agent"],
+        "Mozilla/5.0 (X11; Linux)",
+    ),
+    ("parse_nginx_status", lambda: _fn("parse_nginx_log")(L(_NGINX_LINE))["status"], 404),
+    # parse_syslog.rs (RFC3164 dialect of the preset)
+    ("parse_syslog_host", lambda: _fn("parse_syslog")(L(_SYSLOG_LINE))["host"], "mymachine"),
+    ("parse_syslog_severity", lambda: _fn("parse_syslog")(L(_SYSLOG_LINE))["severity"], 2),
+    # parse_linux_authorization.rs (= syslog layout)
+    (
+        "parse_linux_auth_appname",
+        lambda: _fn("parse_linux_authorization")(
+            L("<38>Jan  5 01:02:03 h1 sshd[123]: Accepted publickey for root")
+        )["appname"],
+        "sshd",
+    ),
+    # parse_glog.rs
+    ("parse_glog_file", lambda: _fn("parse_glog")(L(_GLOG_LINE))["file"], "server.cc"),
+    ("parse_glog_level", lambda: _fn("parse_glog")(L(_GLOG_LINE))["level"], "error"),
+    # parse_klog.rs (klog emits the glog layout)
+    ("parse_klog_line", lambda: _fn("parse_klog")(L(_GLOG_LINE))["line"], 42),
+    # parse_cef.rs
+    ("parse_cef_vendor", lambda: _fn("parse_cef")(L(_CEF_LINE))["device_vendor"], "Security"),
+    ("parse_cef_ext_src", lambda: _fn("parse_cef")(L(_CEF_LINE))["extension"]["src"], "10.0.0.1"),
+    # parse_aws_vpc_flow_log.rs
+    (
+        "parse_vpc_bytes",
+        lambda: _fn("parse_aws_vpc_flow_log")(L(_VPC_LINE))["bytes"],
+        4249,
+    ),
+    # parse_aws_alb_log.rs
+    (
+        "parse_alb_status",
+        lambda: _fn("parse_aws_alb_log")(L(_ALB_LINE))["elb_status_code"],
+        200,
+    ),
+    # parse_grok.rs example
+    (
+        "parse_grok_level",
+        lambda: _fn("parse_grok")(
+            L("2020-10-02T23:22:12.223222Z info Hello world"),
+            "%{TIMESTAMP_ISO8601:timestamp} %{LOGLEVEL:level} %{GREEDYDATA:message}",
+        )["level"],
+        "info",
+    ),
+    # parse_groks.rs (first-match-wins over the pattern list)
+    (
+        "parse_groks_first",
+        lambda: _fn("parse_groks")(L("hello"), ["%{INT:n}", "%{GREEDYDATA:msg}"])["msg"],
+        "hello",
+    ),
     ("corpus_div_float", lambda: L(4) / L(2), 2.0),
     # expressions/unary/not.vrl
     ("corpus_not", lambda: ~L(False), True),
@@ -479,6 +665,21 @@ def test_vrl_golden_corpus(spark):
         if not ok:
             failures.append((cid, got, want))
     assert not failures, "\n".join(f"{c}: got {g!r}, want {w!r}" for c, g, w in failures)
+
+
+def test_vrl_golden_unnest(spark):
+    """unnest.rs example: {"events": [{"message":"hello"},
+    {"message":"world"}]} fans out to one row per element (F.explode
+    is a generator, so it replays outside the single-select frame)."""
+    df = spark.createDataFrame(
+        [("localhost", [{"message": "hello"}, {"message": "world"}])],
+        "hostname string, events array<map<string,string>>",
+    )
+    rows = df.select("hostname", _fn("unnest")(F.col("events")).alias("e")).collect()
+    assert [(r.hostname, r.e["message"]) for r in rows] == [
+        ("localhost", "hello"),
+        ("localhost", "world"),
+    ]
 
 
 def test_registry_counts_hold():

@@ -31,7 +31,7 @@ APACHE_COMMON_GROK = (
 
 SYSLOG_3164_GROK = (
     "<%{POSINT:pri}>%{SYSLOGTIMESTAMP:tstxt} %{NOTSPACE:host} "
-    "%{NOTSPACE:appname}: %{GREEDYDATA:message}"
+    "%{SYSLOGPROG}: %{GREEDYDATA:message}"
 )
 
 
@@ -86,8 +86,10 @@ def parse_nginx_log(col: Column) -> Column:
 def parse_syslog(col: Column) -> Column:
     """RFC3164-ish syslog line '<pri>MMM dd HH:mm:ss host app: msg' ->
     struct(pri:int, facility:int, severity:int, tstxt, host, appname,
-    message). Timestamp is left textual: RFC3164 stamps carry no year
-    or zone — resolving them is a policy decision for the caller.
+    procid, message). The SYSLOGPROG composite splits 'app[pid]' into
+    appname + procid like the reference. Timestamp is left textual:
+    RFC3164 stamps carry no year or zone — resolving them is a policy
+    decision for the caller.
     (parse_syslog.rs; severity/facility split per RFC5424 PRI.)"""
     g = grok_extract_native(col, SYSLOG_3164_GROK)
     pri = g["pri"].try_cast("int")
@@ -97,7 +99,8 @@ def parse_syslog(col: Column) -> Column:
         F.pmod(pri, F.lit(8)).cast("int").alias("severity"),
         g["tstxt"].alias("tstxt"),
         g["host"].alias("host"),
-        g["appname"].alias("appname"),
+        g["program"].alias("appname"),
+        g["pid"].try_cast("bigint").alias("procid"),
         g["message"].alias("message"),
     )
 

@@ -160,7 +160,7 @@ VRL: dict[str, VrlFn] = {
     "is_null": VrlFn("native", "Column.isNull", lambda c: c.isNull()),
     "is_empty": VrlFn("compose", "length(c)==0 (string form)", lambda c: F.length(c) == 0),
     "is_nullish": VrlFn("compose", "vrl_compat.is_nullish", V.is_nullish),
-    "is_ipv4": VrlFn("compose", "rlike(ipv4 regex)", lambda c: c.rlike(r"^(\\d{1,3}\\.){3}\\d{1,3}$")),
+    "is_ipv4": VrlFn("compose", "rlike(ipv4 regex)", lambda c: c.rlike(r"^(\d{1,3}\.){3}\d{1,3}$")),
     "is_ipv6": VrlFn("native", "rlike(ipv6 regex)", None),
     "tag_types_externally": VrlFn("native", "struct-wrap per type (to_json shape)", None),
     "type_def": VrlFn("driver", "VRL-internal type reflection == DataFrame schema", None),
@@ -172,8 +172,8 @@ VRL: dict[str, VrlFn] = {
     "includes": VrlFn("native", "F.array_contains", F.array_contains),
     "keys": VrlFn("native", "F.map_keys", F.map_keys),
     "values": VrlFn("native", "F.map_values", F.map_values),
-    "map_keys": VrlFn("native", "F.transform_keys", lambda m, f: F.transform_keys(m, f)),
-    "map_values": VrlFn("native", "F.transform_values", lambda m, f: F.transform_values(m, f)),
+    "map_keys": VrlFn("native", "F.transform_keys (VRL's 1-arg |key| closure)", lambda m, f: F.transform_keys(m, lambda k, v: f(k))),
+    "map_values": VrlFn("native", "F.transform_values (VRL's 1-arg |value| closure)", lambda m, f: F.transform_values(m, lambda k, v: f(v))),
     "merge": VrlFn("native", "F.map_concat (deep=false shallow merge)", lambda a, b: F.map_concat(F.map_filter(a, lambda k, v: ~F.map_contains_key(b, k)), b)),
     "filter": VrlFn("native", "F.filter (higher-order)", lambda c, f: F.filter(c, f)),
     "for_each": VrlFn("native", "F.transform / F.aggregate (bounded iteration)", None),

@@ -1224,11 +1224,15 @@ def q_op_parse_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["tstxt"].alias("tstxt"),
         s["host"].alias("host"),
         s["appname"].alias("appname"),
+        s["procid"].alias("procid"),
         s["message"].alias("message"),
     )
 
 
-_SYSLOG_RE = r"^<(\d+)>(\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}) (\S+) (\S+): (.*)$"
+_SYSLOG_RE = (
+    r"^<(\d+)>(\w{3} +\d{1,2} \d{2}:\d{2}:\d{2}) (\S+) "
+    r"([^:\[\s]+)(?:\[(\d+)\])?: (.*)$"
+)
 
 SQL_OP_PARSE_SYSLOG = f"""
 WITH lines AS (
@@ -1244,12 +1248,13 @@ p AS (
          regexp_extract(line, '{_SYSLOG_RE}', 2) AS tstxt,
          regexp_extract(line, '{_SYSLOG_RE}', 3) AS host,
          regexp_extract(line, '{_SYSLOG_RE}', 4) AS appname,
-         regexp_extract(line, '{_SYSLOG_RE}', 5) AS message
+         CAST(nullif(regexp_extract(line, '{_SYSLOG_RE}', 5), '') AS BIGINT) AS procid,
+         regexp_extract(line, '{_SYSLOG_RE}', 6) AS message
   FROM lines)
 SELECT event_id, pri,
        CAST(floor(pri / 8) AS INTEGER) AS facility,
        CAST(pri % 8 AS INTEGER) AS severity,
-       tstxt, host, appname, message
+       tstxt, host, appname, procid, message
 FROM p
 """
 

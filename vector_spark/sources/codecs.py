@@ -355,10 +355,22 @@ def encode_logfmt(cols: list[str]) -> Column:
 
 
 def encode_kv_map(map_col: Column) -> Column:
-    """map<string,string> -> sorted 'k=v k=v' text (deterministic)."""
+    """map<string,string> -> sorted 'k=v k=v' text (deterministic).
+
+    Reference quoting (lib/vrl/stdlib/src/encode_key_value.rs): a
+    value (or key) containing spaces, '=' or '"' is double-quoted
+    with inner quotes backslash-escaped — logfmt-compatible."""
+
+    def q(s: Column) -> Column:
+        needs = s.rlike('[ ="]') | (F.length(s) == 0)
+        return F.when(
+            needs,
+            F.concat(F.lit('"'), F.replace(s, F.lit('"'), F.lit('\\"')), F.lit('"')),
+        ).otherwise(s)
+
     entries = F.transform(
         F.array_sort(F.map_entries(map_col)),
-        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        lambda e: F.concat(q(e["key"]), F.lit("="), q(e["value"])),
     )
     return F.array_join(entries, " ")
 
