@@ -125,6 +125,23 @@ def test_parse_groks_with_aliases_first_match(spark):
     assert rows[2]["error.message"].startswith("open() failed")
 
 
+def test_keyvalue_filter(spark):
+    """The flagship error pattern's keyvalue filter
+    (lib/datadog/grok/src/filters/keyvalue.rs): a named capture with
+    :keyvalue("kv_sep","pair_sep") parses into map<string,string>."""
+    df = spark.createDataFrame([("open() failed, path: /x,errno: 2",)], "line string")
+    out = df.select(
+        grok_extract_typed(
+            F.col("line"),
+            r'%{data:error.message}, %{data:kv:keyvalue(": ",",")}',
+            engine="pandas",
+            literal_text=False,
+        ).alias("g")
+    ).select("g.*").collect()[0]
+    assert out["error.message"] == "open() failed"
+    assert out["kv"] == {"path": "/x", "errno": "2"}
+
+
 def test_date_matcher_formats():
     rx, _, _ = compile_grok(
         '%{date("yyyy/MM/dd HH:mm:ss"):d}', literal_text=False

@@ -432,12 +432,17 @@ def grok_filters(pattern: str, aliases: dict[str, str] | None = None) -> dict[st
 
 _NULLIF_RX = re.compile(r'^nullIf\(\s*"((?:\\.|[^"])*)"\s*\)$')
 _SCALE_RX = re.compile(r"^scale\(\s*([0-9.eE+-]+)\s*\)$")
+_KEYVALUE_RX = re.compile(
+    r'^keyvalue\(\s*"((?:\\.|[^"])*)"\s*(?:,\s*"((?:\\.|[^"])*)"\s*)?\)$'
+)
 
 
 def apply_grok_filter(col: Column, filt: str) -> Column:
     """Datadog grok filters (lib/datadog/grok/src/filters/) as Column
     post-processing over the extracted string: integer, number,
-    boolean, nullIf("v"), scale(x), lowercase, uppercase."""
+    boolean, nullIf("v"), scale(x), lowercase, uppercase,
+    keyvalue("kv_sep"[, "pair_sep"]) -> map<string,string>
+    (lib/datadog/grok/src/filters/keyvalue.rs)."""
     if filt == "integer":
         return col.try_cast("bigint")
     if filt == "number":
@@ -454,6 +459,13 @@ def apply_grok_filter(col: Column, filt: str) -> Column:
     m = _SCALE_RX.match(filt)
     if m:
         return col.try_cast("double") * float(m.group(1))
+    m = _KEYVALUE_RX.match(filt)
+    if m:
+        from vector_spark.functions.parse import parse_key_value
+
+        kv_sep = _unquote(f'"{m.group(1)}"')
+        pair_sep = _unquote(f'"{m.group(2)}"') if m.group(2) is not None else " "
+        return parse_key_value(col, pair_sep=pair_sep, kv_sep=kv_sep)
     raise ValueError(f"unsupported grok filter {filt!r}")
 
 

@@ -24,7 +24,9 @@ def parse_key_value(
     )
     return F.map_from_arrays(
         F.transform(pairs, lambda p: F.substring_index(p, kv_sep, 1)),
-        F.transform(pairs, lambda p: F.substr(p, F.instr(p, kv_sep) + 1)),
+        # value starts after the FULL kv separator (multi-char seps
+        # like ': ' are valid — Datadog keyvalue filter args)
+        F.transform(pairs, lambda p: F.substr(p, F.instr(p, kv_sep) + len(kv_sep))),
     )
 
 
