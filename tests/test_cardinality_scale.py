@@ -63,6 +63,32 @@ def test_probabilistic_over_limit_falls_through(spark):
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, prob.collect()))
 
 
+import pytest
+
+
+@pytest.mark.parametrize(
+    "n_vals,limit",
+    [(10, 40), (50, 200), (300, 100), (500, 120)],
+)
+def test_probabilistic_false_accept_bound(spark, n_vals, limit):
+    """Bloom-analogue error envelope: the short-circuit fires only
+    when approx_count_distinct * 1.1 <= limit. HLL++ default rsd is
+    2%, so with a 2x margin between true cardinality and limit the
+    sketch can never flip the decision — under-limit tags are
+    accepted wholesale (zero false DROPS), over-limit tags fall
+    through to the exact path (false ACCEPTS bounded by sketch error,
+    here zero)."""
+    df = _tags(spark, n_vals=n_vals)
+    out = tag_cardinality_limit(
+        df, "tag", limit=limit, order_by=F.col("seq"), mode="probabilistic"
+    )
+    if n_vals * 2 <= limit:
+        assert out is df  # accept-all, no false drops possible
+    else:
+        kept = {r.tag for r in out.collect() if r.tag is not None}
+        assert len(kept) == limit  # exact fallthrough: no false accepts
+
+
 def test_cosine_bucket_cap(spark):
     """A degenerate quantization cell (here: identical near-zero
     embeddings) is dropped from pairing when over max_bucket; a

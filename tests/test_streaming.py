@@ -106,3 +106,59 @@ def test_stream_pipeline_matches_batch_fused(spark, stream_source, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)
     batch = batch.sort_values(key).reset_index(drop=True)[list(got.columns)]
     assert got.equals(batch)
+
+
+def test_stream_tag_cardinality_matches_batch(spark, tmp_path):
+    """Streaming accept-set == batch operator on the same bounded
+    input (unique ts per row makes 'first seen' unambiguous)."""
+    import datetime
+
+    from vector_spark.operators.cardinality import tag_cardinality_limit
+    from vector_spark.streaming.stream_ops import stream_tag_cardinality_limit
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), f"v{i % 17}") for i in range(200)
+    ]
+    src = tmp_path / "card_in"
+    df = spark.createDataFrame(rows, "seq long, ts timestamp, tag string")
+    df.write.mode("overwrite").parquet(str(src))
+
+    sdf = spark.readStream.schema("seq long, ts timestamp, tag string").parquet(str(src))
+    got = run_stream(
+        spark,
+        stream_tag_cardinality_limit(sdf, "tag", limit=5, ts_col="ts"),
+        tmp_path,
+    ).toPandas()
+    batch = tag_cardinality_limit(
+        spark.read.parquet(str(src)), "tag", limit=5, order_by=F.col("ts")
+    ).toPandas()
+    key = ["seq"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)[list(got.columns)]
+    assert got["tag"].notna().sum() == batch["tag"].notna().sum()
+    assert got.equals(batch)
+
+
+def test_stream_tag_cardinality_drop_event(spark, tmp_path):
+    import datetime
+
+    from vector_spark.streaming.stream_ops import stream_tag_cardinality_limit
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), f"v{i % 10}") for i in range(100)
+    ]
+    src = tmp_path / "card_in2"
+    spark.createDataFrame(rows, "seq long, ts timestamp, tag string").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    sdf = spark.readStream.schema("seq long, ts timestamp, tag string").parquet(str(src))
+    out = run_stream(
+        spark,
+        stream_tag_cardinality_limit(
+            sdf, "tag", limit=4, ts_col="ts", action="drop_event"
+        ),
+        tmp_path,
+    )
+    assert out.count() == 40  # 4 of 10 values survive, uniform

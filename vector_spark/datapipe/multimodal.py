@@ -123,3 +123,69 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         .withColumn("byte_offset", F.col("frame_idx") * F.length("payload"))
         .select("media_id", "frame_idx", "byte_offset")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def fake_image_resizer(
+    payload: bytes, meta: dict, target_w: int, target_h: int
+) -> tuple[bytes, dict]:
+    """Deterministic stand-in for a real resize: scales the payload
+    byte length by the pixel-count ratio (nearest-neighbor byte
+    subsample/repeat) and rewrites w/h metadata. Replace with
+    PIL.Image.resize in production."""
+    if payload is None:
+        raise NotImplementedError("real resize requires an image library")
+    w = int(meta.get("w", 1)) or 1
+    h = int(meta.get("h", 1)) or 1
+    src = np.frombuffer(payload, dtype=np.uint8)
+    ratio = (target_w * target_h) / float(w * h)
+    n_out = max(1, int(round(len(src) * ratio)))
+    idx = (np.arange(n_out) * len(src) // n_out).clip(0, len(src) - 1)
+    out = src[idx].tobytes()
+    new_meta = dict(meta or {})
+    new_meta["w"], new_meta["h"] = str(target_w), str(target_h)
+    return out, new_meta
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    resizer: Callable[[bytes, dict, int, int], tuple[bytes, dict]] = fake_image_resizer,
+) -> DataFrame:
+    """mapInPandas resize pass over image rows (same MEDIA-shaped
+    output, so resize composes with extract_features / sinks).
+    Non-image rows pass through untouched. Partition-parallel, Arrow
+    batched — payloads never visit the driver; at 100 TB this is one
+    scan-parallel pass with no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind == "image" and r.payload is not None:
+                    payload, meta = resizer(r.payload, r.meta, target_w, target_h)
+                else:
+                    payload, meta = r.payload, r.meta
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "mime": r.mime,
+                        "payload": payload,
+                        "meta": meta,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)

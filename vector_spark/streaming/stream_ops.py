@@ -243,3 +243,71 @@ def stream_throttle_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_tag_cardinality_limit(
+    df: DataFrame,
+    tag_col: str,
+    limit: int = 500,
+    ts_col: str = "ts",
+    action: str = "drop_tag",  # or "drop_event"
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful-stream tag_cardinality_limit — the native rendering of
+    src/transforms/tag_cardinality_limit.rs: ONE accept-set state per
+    tag key holding the first `limit` distinct values ever seen;
+    later values either lose the tag (drop_tag) or the event
+    (drop_event).
+
+    State/scale notes mirroring the reference: the state is a single
+    shared structure per TAG KEY (not per value), so the stream
+    groups on a constant key and the operator runs on one task per
+    tag key — exactly the reference's single-threaded transform.
+    State size is bounded by `limit` values by construction (that is
+    the operator's purpose); batch-scale data should use the batch
+    operator (operators/cardinality.py), whose accept set is a
+    TakeOrderedAndProject + broadcast and fully parallel."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    out_schema = df.schema
+    state_schema = T.StructType(
+        [T.StructField("accepted", T.ArrayType(T.StringType()))]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def fn(key, pdf_iter, state: GroupState):
+        accepted = list(state.get[0]) if state.exists else []
+        seen = set(accepted)
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            for r in pdf.itertuples(index=False):
+                d = {c: getattr(r, c) for c in cols if c != "__tag_group"}
+                v = d.get(tag_col)
+                if v is None or v in seen:
+                    rows.append(d)
+                    continue
+                if len(accepted) < limit:
+                    accepted.append(v)
+                    seen.add(v)
+                    rows.append(d)
+                elif action == "drop_tag":
+                    d[tag_col] = None
+                    rows.append(d)
+                # drop_event: row vanishes
+        state.update((accepted,))
+        if rows:
+            yield pd.DataFrame(rows, columns=[c for c in cols if c != "__tag_group"])
+
+    grouped = df.withWatermark(ts_col, watermark).withColumn(
+        "__tag_group", F.lit(tag_col)
+    )
+    return grouped.groupBy("__tag_group").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
