@@ -168,3 +168,54 @@ condition = "value > 100"
     assert ports["router.errors"].count() == 2
     assert ports["big_errors"].count() == 1
     assert ports["router._unmatched"].count() > 0
+
+
+def test_toml_parse_groks_flagship_shape(spark):
+    """The reference flagship config's nginx chain
+    (regression/cases/http_pipelines_blackhole/vector/vector.toml:
+    filter by datadog-search 'source:nginx' -> remap parse_groks with
+    a user-defined alias map) expressed on THIS compiler's TOML
+    surface end-to-end."""
+    from vector_spark.plans.pipeline import Pipeline
+
+    toml_text = r'''
+[sources.logs]
+type = "injected"
+
+[transforms.nginx]
+type = "filter"
+inputs = ["logs"]
+condition = "dd:source:nginx"
+
+[transforms.parsed]
+type = "parse_groks"
+inputs = ["nginx"]
+source_col = "message"
+out_col = "custom"
+patterns = ['(?s)%{access.common}']
+
+[transforms.parsed.aliases]
+"access.common" = '%{_client_ip} %{_ident} %{_auth} \[%{_date_access}\] "(?>%{_method} |)%{_url}(?> %{_version}|)" %{_status_code} (?>%{_bytes_written}|-)'
+_auth = '%{notSpace:http.auth:nullIf("-")}'
+_bytes_written = '%{integer:network.bytes_written}'
+_client_ip = '%{ipOrHost:network.client.ip}'
+_version = 'HTTP\/%{regex("\d+\.\d+"):http.version}'
+_url = '%{notSpace:http.url}'
+_ident = '%{notSpace:http.ident:nullIf("-")}'
+_status_code = '%{integer:http.status_code}'
+_method = '%{word:http.method}'
+_date_access = '%{date("dd/MMM/yyyy:HH:mm:ss Z"):date_access}'
+'''
+    df = spark.createDataFrame(
+        [
+            ("nginx", '10.2.3.4 - frank [10/Oct/2023:13:55:36 -0700] "GET /i.html HTTP/1.1" 200 2326'),
+            ("apache", "should be filtered out"),
+        ],
+        "source string, message string",
+    )
+    ports = Pipeline.from_toml(toml_text, spark).compile(inputs={"logs": df})
+    rows = ports["parsed"].select("custom.*").collect()
+    assert len(rows) == 1
+    assert rows[0]["network.client.ip"] == "10.2.3.4"
+    assert rows[0]["http.status_code"] == "200"
+    assert rows[0]["http.url"] == "/i.html"

@@ -242,6 +242,22 @@ class Pipeline:
             from vector_spark.operators.log_to_metric import metric_to_log
 
             ports[name] = metric_to_log(df)
+        elif kind == "parse_groks":
+            # the reference remap's parse_groks(value, patterns,
+            # aliases) call shape (vector.toml:44-74 of the flagship
+            # config) as a declarative transform: Datadog semantics
+            # (patterns are regex with %{} insertions) by default
+            from vector_spark.functions.grok import parse_groks_pandas
+
+            ports[name] = df.withColumn(
+                t.get("out_col", "parsed"),
+                parse_groks_pandas(
+                    F.col(t["source_col"]),
+                    list(t["patterns"]),
+                    aliases=dict(t.get("aliases", {})) or None,
+                    literal_text=t.get("literal_text", False),
+                ),
+            )
         elif kind == "cardinality_limit":
             ports[name] = tag_cardinality_limit(
                 df,
