@@ -106,3 +106,53 @@ def test_proto_spark_roundtrip(spark):
     dec = enc.select("fields", decode_native_log(F.col("payload")).alias("back"))
     for r in dec.collect():
         assert r.back == r.fields
+
+
+def test_ocf_roundtrip_bytes():
+    from vector_spark.sources.native_codecs import (
+        ocf_decode,
+        ocf_encode,
+    )
+
+    payload = bytearray()
+    _avro_encode_value(7, "long", payload)
+    _avro_encode_value("x", "string", payload)
+    blob = ocf_encode(bytes(payload), 1, AVRO_SCHEMA[:0] + '{"type":"record","name":"R","fields":[{"name":"a","type":"long"},{"name":"b","type":"string"}]}')
+    schema_json, blocks = ocf_decode(blob)
+    assert '"name":"R"' in schema_json.replace(" ", "")
+    assert blocks == [bytes(payload)]
+
+
+def test_ocf_spark_files_roundtrip(spark, tmp_path):
+    """Partition-parallel OCF write -> binaryFile read: files are
+    self-describing (schema in metadata), rows round-trip."""
+    import json as _json
+
+    from vector_spark.sources.native_codecs import (
+        read_avro_files,
+        write_avro_files,
+    )
+
+    schema = _json.dumps(
+        {
+            "type": "record",
+            "name": "Ev",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": "string"},
+                {"name": "c", "type": ["null", "double"]},
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i) if i % 3 else None) for i in range(100)],
+        "a long, b string, c double",
+    ).repartition(4)
+    out = str(tmp_path / "avro_out")
+    n_files = write_avro_files(df, out, schema, ["a", "b", "c"])
+    assert n_files >= 1
+    back = read_avro_files(spark, out)
+    rows = {r.a: r for r in back.collect()}
+    assert len(rows) == 100
+    assert rows[5].b == "s5" and rows[5].c == 5.0
+    assert rows[3].c is None

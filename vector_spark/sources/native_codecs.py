@@ -508,3 +508,154 @@ def decode_native_log(col: Column) -> Column:
         return pd.Series(out)
 
     return dec(col)
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files (OCF): magic 'Obj\x01', file metadata
+# map (avro.schema / avro.codec), 16-byte sync marker, then blocks of
+# [record count, byte size, records..., sync]. Null codec only (the
+# spec's required baseline). Gives the record codec above file-level
+# interop: any avro tool can read what write_avro_files produces.
+# ---------------------------------------------------------------------------
+
+_OCF_MAGIC = b"Obj\x01"
+
+
+def _ocf_sync(schema_json: str) -> bytes:
+    """Deterministic 16-byte sync marker (a hash of the schema —
+    randomness is not required by the spec, only uniqueness within
+    the file's block stream)."""
+    import hashlib
+
+    return hashlib.md5(schema_json.encode("utf-8")).digest()
+
+
+def ocf_encode(records_payload: bytes, n_records: int, schema_json: str) -> bytes:
+    """One complete OCF file: header + a single block holding
+    `n_records` already-avro-encoded records."""
+    sync = _ocf_sync(schema_json)
+    meta = {"avro.schema": schema_json.encode("utf-8"), "avro.codec": b"null"}
+    buf = bytearray(_OCF_MAGIC)
+    buf += _zigzag_encode(len(meta))
+    for k, v in sorted(meta.items()):
+        kk = k.encode("utf-8")
+        buf += _zigzag_encode(len(kk)) + kk
+        buf += _zigzag_encode(len(v)) + v
+    buf += _zigzag_encode(0)  # end of metadata blocks
+    buf += sync
+    buf += _zigzag_encode(n_records)
+    buf += _zigzag_encode(len(records_payload))
+    buf += records_payload
+    buf += sync
+    return bytes(buf)
+
+
+def ocf_decode(blob: bytes) -> tuple[str, list[bytes]]:
+    """(schema_json, [raw record payload per block]) from an OCF
+    file. Caller decodes records with _avro_decode_value."""
+    if blob[:4] != _OCF_MAGIC:
+        raise ValueError("not an avro object container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _zigzag_decode(blob, pos)
+        if n == 0:
+            break
+        if n < 0:  # blocked map form: byte-size prefix follows
+            _, pos = _zigzag_decode(blob, pos)
+            n = -n
+        for _ in range(n):
+            klen, pos = _zigzag_decode(blob, pos)
+            k = blob[pos : pos + klen].decode("utf-8")
+            pos += klen
+            vlen, pos = _zigzag_decode(blob, pos)
+            meta[k] = blob[pos : pos + vlen]
+            pos += vlen
+    schema_json = meta["avro.schema"].decode("utf-8")
+    if meta.get("avro.codec", b"null") != b"null":
+        raise ValueError("only the null codec is supported")
+    sync = blob[pos : pos + 16]
+    pos += 16
+    blocks: list[bytes] = []
+    while pos < len(blob):
+        _count, pos = _zigzag_decode(blob, pos)
+        size, pos = _zigzag_decode(blob, pos)
+        blocks.append(blob[pos : pos + size])
+        pos += size
+        if blob[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+        pos += 16
+    return schema_json, blocks
+
+
+def write_avro_files(df, path: str, schema_json: str, cols: list[str]) -> int:
+    """Partition-parallel OCF sink: each Spark partition writes one
+    part-<pid>.avro under `path` (the reference's avro serializer +
+    a file sink). Payloads are encoded executor-side; nothing rides
+    through the driver. Returns the file count."""
+    import os
+
+    schema = json.loads(schema_json)
+    fields = schema["fields"]
+    os.makedirs(path, exist_ok=True)
+    sel = df.select(*cols)
+
+    def write_partition(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        payload = bytearray()
+        n = 0
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                for f, v in zip(fields, row):
+                    if v is not None and pd.api.types.is_scalar(v) and pd.isna(v):
+                        v = None
+                    _avro_encode_value(v, f["type"], payload)
+                n += 1
+        if n:
+            with open(os.path.join(path, f"part-{pid:05d}.avro"), "wb") as fh:
+                fh.write(ocf_encode(bytes(payload), n, schema_json))
+        yield pd.DataFrame({"files": [1 if n else 0]})
+
+    out = sel.mapInPandas(write_partition, "files int")
+    return int(out.agg({"files": "sum"}).collect()[0][0] or 0)
+
+
+def read_avro_files(spark, path: str):
+    """OCF source: binaryFile scan + per-file block decode, schema
+    taken from each file's own metadata (files are self-describing).
+    Scan-parallel: one task per file split, rows never visit the
+    driver."""
+    raw = spark.read.format("binaryFile").load(path + "/*.avro")
+
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                schema_json, blocks = ocf_decode(bytes(blob))
+                schema = json.loads(schema_json)
+                fields = schema["fields"]
+                recs = []
+                for block in blocks:
+                    pos = 0
+                    while pos < len(block):
+                        rec = {}
+                        for f in fields:
+                            rec[f["name"]], pos = _avro_decode_value(
+                                block, pos, f["type"]
+                            )
+                        recs.append(rec)
+                if recs:
+                    yield pd.DataFrame.from_records(recs)
+
+    # infer output schema from the first file's metadata (driver-side
+    # peek at ONE file header, not its data)
+    import glob as _glob
+    import os as _os
+
+    first = sorted(_glob.glob(_os.path.join(path, "*.avro")))[0]
+    with open(first, "rb") as fh:
+        head = fh.read()
+    schema_json, _ = ocf_decode(head)
+    spark_type = _avro_to_spark_type(json.loads(schema_json))
+    return raw.select("content").mapInPandas(decode, spark_type)
