@@ -195,3 +195,17 @@ def test_encode_gelf_decode_roundtrip(spark):
     ev = df.select(decode_gelf(line).alias("e")).select("e.*").first()
     assert (ev.message, ev.host, ev.level) == ("boot ok", "h1", 3)
     assert ev.additional == {"_uid": "77"}
+
+
+def test_encode_text_and_raw_message(spark):
+    from vector_spark.sources.codecs import encode_raw_message, encode_text
+
+    df = spark.createDataFrame([("hello", 42)], "message string, n int")
+    row = df.select(
+        encode_text().alias("t"),
+        encode_raw_message().alias("r"),
+        encode_text("n").alias("tn"),
+    ).collect()[0]
+    assert row.t == "hello"
+    assert bytes(row.r) == b"hello"
+    assert row.tn == "42"

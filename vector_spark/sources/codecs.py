@@ -342,6 +342,20 @@ def encode_json(cols: list[str] | None = None) -> Column:
     return F.to_json(F.struct(*[F.col(c) for c in (cols or [])]))
 
 
+def encode_text(message_col: str = "message") -> Column:
+    """text serializer (lib/codecs/src/encoding/format/text.rs): the
+    event's message field rendered as-is; non-string values via their
+    canonical string form."""
+    return F.col(message_col).cast("string")
+
+
+def encode_raw_message(message_col: str = "message") -> Column:
+    """raw_message serializer (encoding/format/raw_message.rs): the
+    UNMODIFIED message bytes — binary passthrough (text is the
+    string-rendering variant)."""
+    return F.col(message_col).cast("binary")
+
+
 def encode_logfmt(cols: list[str]) -> Column:
     """logfmt serializer: k=v pairs, null fields skipped
     (lib/codecs encoding::logfmt analogue)."""
