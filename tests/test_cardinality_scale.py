@@ -105,3 +105,29 @@ def test_cosine_bucket_cap(spark):
     # uncapped finds the quadratic blowup pairs too
     full = cosine_near_dup_pairs(df, threshold=0.9, max_bucket=None)
     assert full.count() > len(got)
+
+
+def test_ivf_exact_at_full_probes(spark):
+    """probes == n_centroids degenerates IVF to exact brute force."""
+    from vector_spark.datapipe.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(emb.vec_id < 5)
+    full = sorted(map(tuple, ivf_topk(emb, q, probes=8).collect()))
+    bf = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
+    assert full == bf
+
+
+def test_ivf_recall_monotone_in_probes(spark):
+    from vector_spark.datapipe.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(emb.vec_id < 5)
+    truth = {(r.qid, r.vec_id) for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(p):
+        got = {(r.qid, r.vec_id) for r in ivf_topk(emb, q, probes=p).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8 == 1.0

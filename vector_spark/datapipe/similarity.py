@@ -191,3 +191,113 @@ def ann_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "rank", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN with trained coarse centroids — the classic
+# production path (FAISS IVF-Flat shape). Training here is ONE Lloyd
+# iteration from deterministic seeds so the whole index build is
+# RNG-free and SQL-replicable (the driver's DuckDB oracle verifies
+# centroids, assignment AND search); swap in more iterations or
+# pyspark.ml KMeans in production — the plan shape (broadcast
+# centroids, argmin assignment, posexplode means, cluster equi-join)
+# is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def assign_nearest(
+    v: DataFrame,
+    centroids: DataFrame,
+    probes: int = 1,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Rank clusters per vector by cosine to the (broadcast, small)
+    centroid table; keep the nearest `probes` clusters. Sims rounded
+    to 6 dp before ranking (cross-engine determinism), ties broken by
+    cluster id."""
+    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cluster"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= probes)
+        .drop("__sim", "__rn", "cvec")
+    )
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, cvec): the `n_centroids` lowest-id vectors as seeds,
+    refined by one Lloyd step — assign every vector to its nearest
+    seed, recompute element-wise means (rounded to 6 dp so both
+    engines agree bit-for-bit). One broadcast + one shuffle
+    (cluster,pos aggregation) regardless of input size."""
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    seeds = v.filter(F.col("id") < n_centroids).select(
+        F.col("id").alias("cluster"), F.col("vec").alias("cvec")
+    )
+    members = assign_nearest(v, seeds, probes=1)
+    comps = (
+        members.select("cluster", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+    )
+    return comps.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cvec")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    probes: int = 2,
+) -> DataFrame:
+    """IVF-Flat search: vectors live in ONE cluster each (their
+    nearest refined centroid — the inverted file); each query probes
+    its `probes` nearest clusters; candidates meet in a cluster
+    equi-join (shuffle on cluster id, queries broadcast — the big
+    table never expands). probes == n_centroids degenerates to exact
+    brute force (recall 1.0 — asserted in tests); smaller probes
+    trade recall for candidate count, monotonically."""
+    cent = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    vassign = assign_nearest(
+        v.withColumnRenamed("vec_id", "id"), cent, probes=1
+    ).withColumnRenamed("id", "vec_id")
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    qassign = assign_nearest(
+        q.withColumnRenamed("qid", "id").withColumnRenamed("qvec", "vec"),
+        cent,
+        probes=probes,
+    ).select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "cluster")
+    scored = (
+        vassign.join(F.broadcast(qassign), "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 6))
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", "sim")
+    )

@@ -1961,8 +1961,75 @@ FROM ids JOIN p USING (i)
 
 # --------------------------------------------------------------------------
 # round-3 additions: avro + protobuf-native codecs, Datadog grok
-# aliases, event-kind type-test routing
+# aliases, event-kind type-test routing, IVF ANN
 # --------------------------------------------------------------------------
+
+
+def q_dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with TRAINED coarse centroids (deterministic
+    seeds + one Lloyd step, datapipe/similarity.py::ivf_topk): the
+    production inverted-file shape, fully value-checked by the oracle
+    because the index build is RNG-free and SQL-replicable. probes=2
+    of 8 clusters (recall 0.92 vs brute force on this data; probes=8
+    degenerates to exact — asserted in tests)."""
+    from vector_spark.datapipe.similarity import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, probes=2)
+    return out.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "sim",
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+SQL_DP_ANN_IVF = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+seeds AS (SELECT vec_id AS cluster, vec AS cvec FROM v WHERE vec_id < 8),
+a0 AS (
+  SELECT vec_id, vec, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+  FROM (SELECT v.vec_id, v.vec, s.cluster, {_cos_sql("v.vec", "s.cvec")} AS sim
+        FROM v CROSS JOIN seeds s)),
+members AS (SELECT vec_id, vec, cluster FROM a0 WHERE rn = 1),
+comps AS (
+  SELECT cluster, generate_subscripts(vec, 1) AS pos, unnest(vec) AS val
+  FROM members),
+cm AS (SELECT cluster, pos, round(avg(val), 6) AS m FROM comps GROUP BY 1, 2),
+cent AS (SELECT cluster, list(m ORDER BY pos) AS cvec FROM cm GROUP BY 1),
+va AS (
+  SELECT vec_id, vec, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+  FROM (SELECT v.vec_id, v.vec, c.cluster, {_cos_sql("v.vec", "c.cvec")} AS sim
+        FROM v CROSS JOIN cent c)),
+vassign AS (SELECT vec_id, vec, cluster FROM va WHERE rn = 1),
+qa AS (
+  SELECT vec_id AS qid, vec AS qvec, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+  FROM (SELECT v.vec_id, v.vec, c.cluster, {_cos_sql("v.vec", "c.cvec")} AS sim
+        FROM v CROSS JOIN cent c WHERE v.vec_id < 5)),
+qassign AS (SELECT qid, qvec, cluster FROM qa WHERE rn <= 2),
+scored AS (
+  SELECT DISTINCT qid, vec_id, {_cos_sql("qvec", "vec")} AS sim
+  FROM vassign JOIN qassign USING (cluster)
+  WHERE vec_id <> qid),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank, sim
+FROM ranked WHERE rank <= 5
+"""
 
 _AVRO_EVENT_SCHEMA = (
     '{"type":"record","name":"Event","fields":['
@@ -2157,6 +2224,7 @@ QUERIES = {
     "op_decode_native_proto": q_op_decode_native_proto,
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
     "op_route_kind": q_op_route_kind,
+    "dp_ann_ivf": q_dp_ann_ivf,
     # -- unchecked in r2 (driver 50-query cap); re-evidence first
     "op_agg_salted": q_op_agg_salted,
     "op_aggregate_metrics": q_op_aggregate_metrics,
@@ -2209,8 +2277,8 @@ QUERIES = {
     "dp_minhash_sig": q_dp_minhash_sig,
     "dp_jaccard_pairs": q_dp_jaccard_pairs,
     "dp_cosine_topk": q_dp_cosine_topk,
-    "dp_cosine_near_dup": q_dp_cosine_near_dup,
     # ---- >50 tail: untouched in r3, all green in CORRECTNESS_r02 ----
+    "dp_cosine_near_dup": q_dp_cosine_near_dup,
     "op_filter": q_op_filter,
     "op_remap_json": q_op_remap_json,
     "op_sample_keyed": q_op_sample_keyed,
@@ -2231,6 +2299,7 @@ ORACLES = {
     "op_decode_native_proto": SQL_OP_DECODE_NATIVE_PROTO,
     "op_parse_grok_aliases": SQL_OP_PARSE_GROK_ALIASES,
     "op_route_kind": SQL_OP_ROUTE_KIND,
+    "dp_ann_ivf": SQL_DP_ANN_IVF,
     "pipe_parse_typed": SQL_PIPE_PARSE_TYPED,
     "pipe_dropped": SQL_PIPE_DROPPED,
     "pipe_enrich_tools": SQL_PIPE_ENRICH_TOOLS,
