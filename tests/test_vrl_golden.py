@@ -28,7 +28,10 @@ Functions with golden parity here (4x: file citation in each case):
   parse_nginx_log parse_syslog parse_linux_authorization parse_glog
   parse_klog parse_cef parse_aws_vpc_flow_log parse_aws_alb_log
   parse_grok parse_groks
-  — 103 functions with replayed parity
+  length encrypt decrypt is_ipv6 for_each get set del only_fields
+  exists get_env_var get_hostname assert ip_ntop ip_pton
+  parse_aws_cloudwatch_log_subscription_message
+  — 119 functions with replayed parity
 
 Documented dialect divergences (asserted with translated inputs):
   * regex patterns/replacements are Java-dialect ((?<g>..)/$1) not
@@ -78,6 +81,13 @@ _CEF_LINE = (
 _VPC_LINE = (
     "2 123456789010 eni-1235b8ca 172.31.16.139 172.31.16.21 20641 22 6 "
     "20 4249 1418530010 1418530070 ACCEPT OK"
+)
+_CW_JSON = (
+    '{"messageType": "DATA_MESSAGE", "owner": "111111111111", '
+    '"logGroup": "test", "logStream": "test", '
+    '"subscriptionFilters": ["Destination"], '
+    '"logEvents": [{"id": "35683658089614582423604394983260738922885519999578275840", '
+    '"timestamp": 1600110569039, "message": "hello"}]}'
 )
 _ALB_LINE = (
     'https 2018-07-02T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 '
@@ -622,6 +632,75 @@ CASES = [
         "parse_groks_first",
         lambda: _fn("parse_groks")(L("hello"), ["%{INT:n}", "%{GREEDYDATA:msg}"])["msg"],
         "hello",
+    ),
+    # length.rs (string chars / collection size)
+    ("length_str", lambda: _fn("length")(L("foobar")), 6),
+    ("length_arr", lambda: _fn("length")(F.array(L(1), L(2)), collection=True), 2),
+    # encrypt.rs / decrypt.rs (AES round trip; GCM IV is random so
+    # only the round trip is deterministic)
+    (
+        "encrypt_decrypt_roundtrip",
+        lambda: _fn("decrypt")(
+            _fn("encrypt")(L("super secret"), "0123456789abcdef"), "0123456789abcdef"
+        ),
+        "super secret",
+    ),
+    # is_ipv6.rs
+    ("is_ipv6_hit", lambda: _fn("is_ipv6")(L("2001:0db8:85a3::8a2e:0370:7334")), True),
+    ("is_ipv6_miss", lambda: _fn("is_ipv6")(L("1.2.3.4")), False),
+    # for_each.rs (value-returning iteration analogue)
+    ("for_each", lambda: _fn("for_each")(F.array(L(1), L(2)), lambda v: v + 10), [11, 12]),
+    # path functions (get.rs / set.rs / del.rs / remove.rs /
+    # only_fields.rs / exists.rs) over a struct column
+    ("path_get", lambda: _fn("get")(F.struct(L(7).alias("a"), L(8).alias("b")), "a"), 7),
+    (
+        "path_set",
+        lambda: _fn("set")(F.struct(L(7).alias("a")), "a", L(9))["a"],
+        9,
+    ),
+    (
+        "path_del",
+        lambda: _fn("del")(F.struct(L(7).alias("a"), L(8).alias("b")), "a"),
+        {"b": 8},
+    ),
+    (
+        "path_only_fields",
+        lambda: _fn("only_fields")(
+            F.struct(L(1).alias("a"), L(2).alias("b"), L(3).alias("c")), ["a", "c"]
+        ),
+        {"a": 1, "c": 3},
+    ),
+    ("path_exists", lambda: _fn("exists")(F.struct(L(1).alias("a")), "a"), True),
+    # get_env_var.rs / get_hostname.rs (driver-resolved literals)
+    (
+        "get_env_var",
+        lambda: _fn("get_env_var")("HOME") == L(__import__("os").environ["HOME"]),
+        True,
+    ),
+    (
+        "get_hostname",
+        lambda: _fn("get_hostname")() == L(__import__("socket").gethostname()),
+        True,
+    ),
+    # assert.rs (success is silent/NULL)
+    ("assert_ok", lambda: _fn("assert")(L(True)), None),
+    # ip_pton.rs / ip_ntop.rs (both families, stdlib inet_pton/ntop)
+    ("ip_pton_v4", lambda: _fn("ip_ntop")(_fn("ip_pton")(L("1.2.3.4"))), "1.2.3.4"),
+    ("ip_pton_v6", lambda: _fn("ip_ntop")(_fn("ip_pton")(L("::1"))), "::1"),
+    # parse_aws_cloudwatch_log_subscription_message.rs example
+    (
+        "cloudwatch_message_type",
+        lambda: _fn("parse_aws_cloudwatch_log_subscription_message")(L(_CW_JSON))[
+            "message_type"
+        ],
+        "DATA_MESSAGE",
+    ),
+    (
+        "cloudwatch_event_ts",
+        lambda: _fn("parse_aws_cloudwatch_log_subscription_message")(L(_CW_JSON))[
+            "log_events"
+        ][0]["timestamp"],
+        datetime.datetime(2020, 9, 14, 19, 9, 29, 39000),
     ),
     ("corpus_div_float", lambda: L(4) / L(2), 2.0),
     # expressions/unary/not.vrl

@@ -509,3 +509,87 @@ def to_syslog_facility(code: Column) -> Column:
     for i, name in enumerate(_SYSLOG_FACILITIES[1:], start=1):
         out = out.when(code == i, name)
     return out.otherwise(F.lit(None).cast("string"))
+
+
+def ip_ntop(col: Column) -> Column:
+    """ip_ntop.rs: packed network-order bytes (4 = IPv4, 16 = IPv6)
+    -> printable address. stdlib socket.inet_ntop behind one Arrow
+    pandas UDF (both families); wrong lengths -> NULL (the reference
+    errors)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def f(s):
+        import socket
+
+        def one(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            try:
+                if len(b) == 4:
+                    return socket.inet_ntop(socket.AF_INET, b)
+                if len(b) == 16:
+                    return socket.inet_ntop(socket.AF_INET6, b)
+            except OSError:
+                pass
+            return None
+
+        return pd.Series([one(v) for v in s])
+
+    return f(col)
+
+
+def ip_pton(col: Column) -> Column:
+    """ip_pton.rs: printable address -> packed bytes (4 or 16);
+    malformed -> NULL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def f(s):
+        import socket
+
+        def one(v):
+            if v is None:
+                return None
+            for fam in (socket.AF_INET, socket.AF_INET6):
+                try:
+                    return socket.inet_pton(fam, v)
+                except OSError:
+                    continue
+            return None
+
+        return pd.Series([one(v) for v in s])
+
+    return f(col)
+
+
+_CLOUDWATCH_RAW_SCHEMA = (
+    "messageType string, owner string, logGroup string, logStream string, "
+    "subscriptionFilters array<string>, "
+    "logEvents array<struct<id:string,timestamp:bigint,message:string>>"
+)
+
+
+def parse_aws_cloudwatch_log_subscription_message(col: Column) -> Column:
+    """parse_aws_cloudwatch_log_subscription_message.rs: the AWS
+    camelCase subscription JSON -> the reference's snake_case struct,
+    log-event timestamps lifted from epoch-millis to timestamps."""
+    raw = F.from_json(col, _CLOUDWATCH_RAW_SCHEMA)
+    return F.struct(
+        raw["messageType"].alias("message_type"),
+        raw["owner"].alias("owner"),
+        raw["logGroup"].alias("log_group"),
+        raw["logStream"].alias("log_stream"),
+        raw["subscriptionFilters"].alias("subscription_filters"),
+        F.transform(
+            raw["logEvents"],
+            lambda e: F.struct(
+                e["id"].alias("id"),
+                F.timestamp_millis(e["timestamp"]).alias("timestamp"),
+                e["message"].alias("message"),
+            ),
+        ).alias("log_events"),
+    )

@@ -81,7 +81,7 @@ VRL: dict[str, VrlFn] = {
     "parse_cef": VrlFn("compose", "presets.parse_cef (header split + extension kv map)", parse_cef),
     "parse_linux_authorization": VrlFn("compose", "presets.parse_linux_authorization (= syslog layout)", parse_linux_authorization),
     "parse_aws_alb_log": VrlFn("compose", "presets.parse_aws_alb_log (typed core-field struct)", parse_aws_alb_log),
-    "parse_aws_cloudwatch_log_subscription_message": VrlFn("native", "F.from_json with the subscription schema", None),
+    "parse_aws_cloudwatch_log_subscription_message": VrlFn("compose", "vrl_compat.parse_aws_cloudwatch_log_subscription_message (camelCase JSON -> snake_case struct, ms->timestamp)", V.parse_aws_cloudwatch_log_subscription_message),
     "parse_aws_vpc_flow_log": VrlFn("compose", "presets.parse_aws_vpc_flow_log (typed struct)", parse_aws_vpc_flow_log),
     "parse_ruby_hash": VrlFn("compose", "vrl_compat.parse_ruby_hash (syntax rewrite -> try_parse_json VARIANT; heuristic, documented)", V.parse_ruby_hash),
     "parse_xml": VrlFn("udf", "vrl_compat.parse_xml (stdlib ElementTree -> JSON string, @attr/text_key mapping per reference)", V.parse_xml),
@@ -97,7 +97,7 @@ VRL: dict[str, VrlFn] = {
     "replace": VrlFn("native", "F.regexp_replace", F.regexp_replace),
     "slice": VrlFn("native", "F.slice(arr, start+1, end-start) / substring for strings (non-negative indices)", lambda c, start, end: F.slice(c, start + 1, end - start)),
     "strlen": VrlFn("native", "F.length", F.length),
-    "length": VrlFn("native", "F.length (string) / F.size (array/map)", None),
+    "length": VrlFn("native", "F.length (string) / F.size (array/map)", lambda c, collection=False: F.size(c) if collection else F.length(c)),
     "strip_whitespace": VrlFn("compose", "vrl_compat.strip_whitespace (all-whitespace trim; F.trim only strips spaces)", V.strip_whitespace),
     "strip_ansi_escape_codes": VrlFn("compose", "vrl_compat.strip_ansi_escape_codes", V.strip_ansi_escape_codes),
     "truncate": VrlFn("compose", "vrl_compat.truncate", V.truncate),
@@ -105,7 +105,7 @@ VRL: dict[str, VrlFn] = {
     "match": VrlFn("native", "Column.rlike", lambda c, r: c.rlike(r)),
     "match_any": VrlFn("compose", "OR of rlikes", lambda c, rs: __import__("functools").reduce(lambda a, b: a | b, [c.rlike(r) for r in rs])),
     "match_array": VrlFn("compose", "F.exists(arr, x -> x.rlike(r))", lambda c, r: F.exists(c, lambda x: x.rlike(r))),
-    "match_datadog_query": VrlFn("compose", "conditions.datadog_search.dd_query(query, df) — full query->Column compiler (takes the DataFrame for schema resolution, not a single column)", None),
+    "match_datadog_query": VrlFn("compose", "conditions.datadog_search.dd_query(query, df) — full query->Column compiler (takes the DataFrame for schema resolution, not a single column)", lambda q, df=None: __import__("vector_spark.conditions", fromlist=["dd_query"]).dd_query(q, df)),
     "redact": VrlFn("compose", "vrl_compat.redact", V.redact),
     "chunks": VrlFn("compose", "vrl_compat.chunks_str (sequence+substring transform; chars not bytes — documented)", V.chunks_str),
     "reverse_dns": VrlFn("scope", "network lookup; env-dependent", None),
@@ -122,8 +122,8 @@ VRL: dict[str, VrlFn] = {
     "sha1": VrlFn("native", "F.sha1", F.sha1),
     "sha2": VrlFn("native", "F.sha2", F.sha2),
     "sha3": VrlFn("udf", "vrl_compat.sha3 (hashlib sha3, Arrow pandas UDF; default SHA3-512)", V.sha3),
-    "encrypt": VrlFn("native", "F.aes_encrypt (Spark 3.3+)", None),
-    "decrypt": VrlFn("native", "F.aes_decrypt", None),
+    "encrypt": VrlFn("native", "F.aes_encrypt (JVM AES; GCM/CBC/ECB modes — the reference adds CFB/CTR variants, documented dialect)", lambda c, key, mode="GCM": F.aes_encrypt(c.cast("binary"), F.lit(key), F.lit(mode))),
+    "decrypt": VrlFn("native", "F.aes_decrypt", lambda c, key, mode="GCM": F.aes_decrypt(c, F.lit(key), F.lit(mode)).cast("string")),
     "random_bytes": VrlFn("scope", "nondeterministic by design; F.rand-seeded UDF at need", None),
     # --- numeric ---------------------------------------------------------
     "ceil": VrlFn("native", "F.ceil", F.ceil),
@@ -161,7 +161,7 @@ VRL: dict[str, VrlFn] = {
     "is_empty": VrlFn("compose", "length(c)==0 (string form)", lambda c: F.length(c) == 0),
     "is_nullish": VrlFn("compose", "vrl_compat.is_nullish", V.is_nullish),
     "is_ipv4": VrlFn("compose", "rlike(ipv4 regex)", lambda c: c.rlike(r"^(\d{1,3}\.){3}\d{1,3}$")),
-    "is_ipv6": VrlFn("native", "rlike(ipv6 regex)", None),
+    "is_ipv6": VrlFn("native", "rlike(ipv6 heuristic regex)", lambda c: c.rlike(r"^(?:[0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F.:]*$")),
     "tag_types_externally": VrlFn("native", "struct-wrap per type (to_json shape)", None),
     "type_def": VrlFn("driver", "VRL-internal type reflection == DataFrame schema", None),
     # --- collections / event paths ---------------------------------------
@@ -176,25 +176,25 @@ VRL: dict[str, VrlFn] = {
     "map_values": VrlFn("native", "F.transform_values (VRL's 1-arg |value| closure)", lambda m, f: F.transform_values(m, lambda k, v: f(v))),
     "merge": VrlFn("native", "F.map_concat (deep=false shallow merge)", lambda a, b: F.map_concat(F.map_filter(a, lambda k, v: ~F.map_contains_key(b, k)), b)),
     "filter": VrlFn("native", "F.filter (higher-order)", lambda c, f: F.filter(c, f)),
-    "for_each": VrlFn("native", "F.transform / F.aggregate (bounded iteration)", None),
+    "for_each": VrlFn("native", "F.transform / F.aggregate (bounded iteration; the value-returning analogue of the side-effect closure)", lambda c, f: F.transform(c, f)),
     "map": VrlFn("native", "F.transform", lambda c, f: F.transform(c, f)),
     "unique": VrlFn("native", "F.array_distinct", F.array_distinct),
     "unnest": VrlFn("native", "F.explode (1->N rows)", F.explode),
     "tally": VrlFn("compose", "vrl_compat.tally (aggregate HOF, no shuffle)", V.tally),
     "tally_value": VrlFn("compose", "vrl_compat.tally_value", V.tally_value),
-    "only_fields": VrlFn("path", "df.select(fields)", None),
-    "remove": VrlFn("path", "df.drop / Column.dropFields", None),
-    "del": VrlFn("path", "df.drop / Column.dropFields", None),
-    "set": VrlFn("path", "df.withColumn / Column.withField", None),
-    "get": VrlFn("path", "F.col('a.b') / Column.getField / element_at", None),
-    "exists": VrlFn("path", "schema check + isNotNull", None),
+    "only_fields": VrlFn("path", "struct projection (df.select at frame level)", lambda c, fields: F.struct(*[c[f].alias(f) for f in fields])),
+    "remove": VrlFn("path", "Column.dropFields (df.drop at frame level)", lambda c, field: c.dropFields(field)),
+    "del": VrlFn("path", "Column.dropFields (df.drop at frame level)", lambda c, field: c.dropFields(field)),
+    "set": VrlFn("path", "Column.withField (df.withColumn at frame level)", lambda c, field, v: c.withField(field, v)),
+    "get": VrlFn("path", "Column.getItem / getField / element_at", lambda c, field: c[field]),
+    "exists": VrlFn("path", "schema check + isNotNull (struct-field form)", lambda c, field: c[field].isNotNull()),
     # --- time / env / misc ------------------------------------------------
     "now": VrlFn("native", "F.current_timestamp", F.current_timestamp),
     "format_timestamp": VrlFn("native", "F.date_format", F.date_format),
     "uuid_v4": VrlFn("native", "F.uuid (per-row, nondeterministic)", lambda: F.uuid()),
-    "get_env_var": VrlFn("driver", "F.lit(os.environ[...]) at plan build", None),
-    "get_hostname": VrlFn("driver", "F.lit(socket.gethostname()) at plan build", None),
-    "assert": VrlFn("native", "F.assert_true / F.raise_error (test-only)", None),
+    "get_env_var": VrlFn("driver", "F.lit(os.environ[...]) at plan build (like the reference: resolved at runtime on the host)", lambda name, default=None: F.lit(__import__("os").environ.get(name, default))),
+    "get_hostname": VrlFn("driver", "F.lit(socket.gethostname()) at plan build", lambda: F.lit(__import__("socket").gethostname())),
+    "assert": VrlFn("native", "F.assert_true / F.raise_error (test-only)", lambda cond, msg=None: F.assert_true(cond, F.lit(msg)) if msg is not None else F.assert_true(cond)),
     "assert_eq": VrlFn("native", "F.assert_true(a == b)", lambda a, b: F.assert_true(a == b)),
     # --- IP ---------------------------------------------------------------
     "ip_aton": VrlFn("compose", "vrl_compat.ip_aton (JVM split+shift, IPv4)", V.ip_aton),
@@ -203,8 +203,8 @@ VRL: dict[str, VrlFn] = {
     "ip_subnet": VrlFn("compose", "vrl_compat.ip_subnet (/len or dotted netmask)", V.ip_subnet),
     "ip_to_ipv6": VrlFn("compose", "vrl_compat.ip_to_ipv6 (v4-mapped form)", V.ip_to_ipv6),
     "ipv6_to_ipv4": VrlFn("compose", "vrl_compat.ipv6_to_ipv4 (v4-mapped unwrap)", V.ipv6_to_ipv4),
-    "ip_ntop": VrlFn("scope", "IP math; UDF at need", None),
-    "ip_pton": VrlFn("scope", "IP math; UDF at need", None),
+    "ip_ntop": VrlFn("udf", "vrl_compat.ip_ntop (stdlib inet_ntop, both families, Arrow)", V.ip_ntop),
+    "ip_pton": VrlFn("udf", "vrl_compat.ip_pton (stdlib inet_pton, both families, Arrow)", V.ip_pton),
     # --- syslog ----------------------------------------------------------
     "to_syslog_facility": VrlFn("compose", "vrl_compat.to_syslog_facility (code 0-23 -> keyword)", V.to_syslog_facility),
     "to_syslog_level": VrlFn("compose", "vrl_compat.to_syslog_level", V.to_syslog_level),
