@@ -92,6 +92,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "op_decode_avro",
         "op_decode_native_proto",
         "op_cardinality",
+        "dp_ann_ivf",
     ]
     for name in secondary:
         fn = QUERIES[name]

@@ -171,3 +171,28 @@ def test_dedupe_lru_replay_within_capacity_equals_exact(spark):
     assert sorted((r.seq, r.k) for r in lru.collect()) == sorted(
         (r.seq, r.k) for r in exact.collect()
     )
+
+
+def test_iceberg_ddl_and_fallback(spark, tmp_path):
+    """No Iceberg runtime in this sandbox: the probe must say so, the
+    DDL must carry the north-rule partition spec, and the unified
+    sink must fall back to the identical parquet layout."""
+    import os
+
+    from vector_spark.sinks import (
+        iceberg_available,
+        iceberg_transcripts_ddl,
+        write_transcripts,
+    )
+    from vector_spark.sources.synth import transcripts_df
+
+    assert iceberg_available(spark) is False
+    ddl = iceberg_transcripts_ddl()
+    assert "PARTITIONED BY (days(ts), bucket(16, conv_id))" in ddl
+    assert "USING iceberg" in ddl
+    out = str(tmp_path / "tx")
+    write_transcripts(transcripts_df(spark, n_convs=20), out)
+    days = [d for d in os.listdir(out) if d.startswith("p_day=")]
+    assert days
+    buckets = os.listdir(os.path.join(out, days[0]))
+    assert any(b.startswith("p_bucket=") for b in buckets)
