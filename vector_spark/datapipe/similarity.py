@@ -199,31 +199,59 @@ def ann_bucketed_topk(
 # iteration from deterministic seeds so the whole index build is
 # RNG-free and SQL-replicable (the driver's DuckDB oracle verifies
 # centroids, assignment AND search); swap in more iterations or
-# pyspark.ml KMeans in production — the plan shape (broadcast
-# centroids, argmin assignment, posexplode means, cluster equi-join)
-# is unchanged.
+# pyspark.ml KMeans in production — the plan shape is unchanged.
+#
+# Scale design: centroids are K tiny rows, so they are COLLECTED and
+# re-entered as literal expressions — cluster assignment is then a
+# pure projection (array_max over K struct sims, whole-stage codegen,
+# ZERO shuffle on the vector table), the probe expansion lives on the
+# query side only, and the search join broadcasts the queries. The
+# only index-build shuffle is the (cluster, pos) element-wise-mean
+# aggregation, whose map-side partial reduces each partition to at
+# most K x dims rows before the exchange.
 # ---------------------------------------------------------------------------
 
 
-def assign_nearest(
-    v: DataFrame,
-    centroids: DataFrame,
-    probes: int = 1,
-    id_col: str = "id",
-    vec_col: str = "vec",
-) -> DataFrame:
-    """Rank clusters per vector by cosine to the (broadcast, small)
-    centroid table; keep the nearest `probes` clusters. Sims rounded
-    to 6 dp before ranking (cross-engine determinism), ties broken by
-    cluster id."""
-    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
+Centroids = list[tuple[int, list[float]]]
+
+
+def _centroid_array(centroids: Centroids) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).cast("long").alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for c, vec in centroids
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cluster"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= probes)
-        .drop("__sim", "__rn", "cvec")
+
+
+def _ranked_sims(vec: Column, centroids: Centroids) -> Column:
+    """array<struct<sim, negc, cluster>> — struct-comparison order is
+    (sim, -cluster), so max/sort give highest similarity with ties to
+    the LOWEST cluster id (cross-engine determinism)."""
+    return F.transform(
+        _centroid_array(centroids),
+        lambda c: F.struct(
+            F.round(cosine(vec, c["cvec"]), 6).alias("sim"),
+            (-c["cluster"]).alias("negc"),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+
+
+def nearest_cluster(vec: Column, centroids: Centroids) -> Column:
+    """argmin assignment as ONE projection — no cross join, no window,
+    no shuffle."""
+    return F.array_max(_ranked_sims(vec, centroids))["cluster"]
+
+
+def probe_clusters(vec: Column, centroids: Centroids, probes: int) -> Column:
+    """The query's `probes` nearest cluster ids (query-side only)."""
+    return F.transform(
+        F.slice(F.sort_array(_ranked_sims(vec, centroids), asc=False), 1, probes),
+        lambda s: s["cluster"],
     )
 
 
@@ -232,29 +260,32 @@ def ivf_centroids(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """(cluster, cvec): the `n_centroids` lowest-id vectors as seeds,
-    refined by one Lloyd step — assign every vector to its nearest
-    seed, recompute element-wise means (rounded to 6 dp so both
-    engines agree bit-for-bit). One broadcast + one shuffle
-    (cluster,pos aggregation) regardless of input size."""
+) -> Centroids:
+    """Train the coarse quantizer: the `n_centroids` lowest-id vectors
+    seed one Lloyd step (projection-only assignment, element-wise
+    means rounded to 6 dp so both engines agree bit-for-bit). Returns
+    the K centroids as plain Python data — they are the INDEX, tiny by
+    construction, and re-enter every later plan as literals."""
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    seeds = v.filter(F.col("id") < n_centroids).select(
-        F.col("id").alias("cluster"), F.col("vec").alias("cvec")
+    seed_rows = sorted(
+        v.filter(F.col("id") < n_centroids).collect(), key=lambda r: r["id"]
     )
-    members = assign_nearest(v, seeds, probes=1)
+    seeds: Centroids = [(int(r["id"]), list(r["vec"])) for r in seed_rows]
     comps = (
-        members.select("cluster", F.posexplode("vec").alias("pos", "val"))
+        v.withColumn("cluster", nearest_cluster(F.col("vec"), seeds))
+        .select("cluster", F.posexplode("vec").alias("pos", "val"))
         .groupBy("cluster", "pos")
         .agg(F.round(F.avg("val"), 6).alias("m"))
+        .collect()
     )
-    return comps.groupBy("cluster").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("cvec")
-    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in comps:
+        by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(r["m"])
+    return [
+        (c, [d[p] for p in sorted(d)]) for c, d in sorted(by_cluster.items())
+    ]
 
 
 def ivf_topk(
@@ -265,32 +296,33 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     probes: int = 2,
+    centroids: Centroids | None = None,
 ) -> DataFrame:
     """IVF-Flat search: vectors live in ONE cluster each (their
-    nearest refined centroid — the inverted file); each query probes
-    its `probes` nearest clusters; candidates meet in a cluster
-    equi-join (shuffle on cluster id, queries broadcast — the big
-    table never expands). probes == n_centroids degenerates to exact
-    brute force (recall 1.0 — asserted in tests); smaller probes
-    trade recall for candidate count, monotonically."""
-    cent = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    nearest centroid — the inverted file); each query probes its
+    `probes` nearest clusters; candidates meet in a broadcast join on
+    cluster. The big table takes ONE scan, zero shuffles before the
+    per-query top-k (which moves candidate rows only). probes ==
+    n_centroids degenerates to exact brute force (recall 1.0 —
+    asserted in tests); smaller probes trade recall for candidate
+    count, monotonically. Pass a prebuilt `centroids` index to skip
+    training (the production path: train once, search many)."""
+    cent = centroids if centroids is not None else ivf_centroids(
+        vectors, n_centroids, id_col, vec_col
+    )
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("cluster", nearest_cluster(F.col("vec"), cent))
+    q = (
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .withColumn("cluster", F.explode(probe_clusters(F.col("qvec"), cent, probes)))
     )
-    vassign = assign_nearest(
-        v.withColumnRenamed("vec_id", "id"), cent, probes=1
-    ).withColumnRenamed("id", "vec_id")
-    q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qvec")
-    )
-    qassign = assign_nearest(
-        q.withColumnRenamed("qid", "id").withColumnRenamed("qvec", "vec"),
-        cent,
-        probes=probes,
-    ).select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "cluster")
     scored = (
-        vassign.join(F.broadcast(qassign), "cluster")
+        v.join(F.broadcast(q), "cluster")
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 6))
         .dropDuplicates(["qid", "vec_id"])
