@@ -94,6 +94,9 @@ def test_distribution_zero_rate_sample_dropped(spark):
     # q100 (max over the weighted expansion) excludes the rate-0 100.0
     assert stats["q100"] == 3.0
     assert stats["q50"] == 1.0
+    # min/max agree with the quantiles (rate-0 excluded there too)
+    assert stats["max"] == 3.0 and stats["min"] == 1.0
+    assert stats["count"] == 2 and stats["sum"] == 4.0
 
 
 def test_set_merge(spark):

@@ -66,3 +66,12 @@ def test_resize_deterministic(spark):
     a = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 8).collect()}
     b = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 8).collect()}
     assert a == b
+
+
+def test_resizer_edge_inputs():
+    from vector_spark.datapipe.multimodal import fake_image_resizer
+
+    out, meta = fake_image_resizer(b"", None, 8, 8)
+    assert out == b"" and meta == {"w": "8", "h": "8"}
+    out2, meta2 = fake_image_resizer(bytes(range(10)), {"w": "2", "h": "2"}, 4, 4)
+    assert len(out2) > 0 and meta2["w"] == "4"

@@ -83,6 +83,17 @@ def test_avro_malformed_is_null(spark):
     assert out[0].rec.b is None
 
 
+def test_avro_oversized_varint_is_null_not_job_failure(spark):
+    """A corrupt 15-byte varint chain decodes to a >64-bit int in pure
+    Python; without the 64-bit bound it would pass the per-record
+    try/except and blow up Arrow serialization of the whole batch."""
+    df = spark.createDataFrame(
+        [(bytearray(b"\xff" * 15 + b"\x01"),)], "payload binary"
+    )
+    out = df.select(decode_avro(F.col("payload"), AVRO_SCHEMA).alias("rec")).collect()
+    assert out[0].rec.a is None
+
+
 def test_proto_golden_bytes():
     # EventWrapper{log{fields{"k": raw_bytes "v"}}} hand-assembled:
     # Value: 0A 01 76 | entry: 0A 01 6B 12 03 <value> |

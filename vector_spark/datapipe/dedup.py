@@ -138,6 +138,22 @@ def _signatures_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
     return hashed.groupBy("id").agg(*aggs)
 
 
+def cap_buckets(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop every row of a bucket larger than `max_bucket` — the
+    degenerate-bucket mitigation shared by LSH band buckets
+    (minhash_dedup_pairs) and quantization cells (cosine/ANN paths in
+    datapipe.similarity). The 10000 default cap is mirrored in the
+    DuckDB oracles (windowed bucket-size filter). None disables."""
+    if max_bucket is None:
+        return df
+    bw = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
 def lsh_band_buckets(
     sig: DataFrame, n_hashes: int, rows_per_band: int = 2
 ) -> DataFrame:
@@ -230,14 +246,9 @@ def minhash_dedup_pairs(
             for i in range(n_hashes)
         ]
     )
-    buckets = lsh_band_buckets(sig, n_hashes, rows_per_band)
-    if max_bucket is not None:
-        bw = Window.partitionBy("band", "bucket")
-        buckets = (
-            buckets.withColumn("__bsz", F.count(F.lit(1)).over(bw))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
+    buckets = cap_buckets(
+        lsh_band_buckets(sig, n_hashes, rows_per_band), ["band", "bucket"], max_bucket
+    )
     l = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     r = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (

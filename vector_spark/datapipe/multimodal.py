@@ -145,14 +145,18 @@ def fake_image_resizer(
     PIL.Image.resize in production."""
     if payload is None:
         raise NotImplementedError("real resize requires an image library")
+    meta = dict(meta) if meta else {}
     w = int(meta.get("w", 1)) or 1
     h = int(meta.get("h", 1)) or 1
     src = np.frombuffer(payload, dtype=np.uint8)
+    new_meta = dict(meta)
+    if len(src) == 0:  # zero-byte payload: nothing to sample from
+        new_meta["w"], new_meta["h"] = str(target_w), str(target_h)
+        return b"", new_meta
     ratio = (target_w * target_h) / float(w * h)
     n_out = max(1, int(round(len(src) * ratio)))
     idx = (np.arange(n_out) * len(src) // n_out).clip(0, len(src) - 1)
     out = src[idx].tobytes()
-    new_meta = dict(meta or {})
     new_meta["w"], new_meta["h"] = str(target_w), str(target_h)
     return out, new_meta
 

@@ -88,16 +88,15 @@ def cosine_near_dup_pairs(
     near-zero information per pair). None disables. The DuckDB oracle
     (queries.SQL_DP_COSINE_NEAR_DUP_BUCKETED) mirrors the cap so
     engine/oracle stay byte-identical when a cell overflows."""
+    from vector_spark.datapipe.dedup import cap_buckets
+
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if bucket_join:
-        v = v.withColumn("bucket", quantize_bucket(F.col("vec")))
-        if max_bucket is not None:
-            bw = Window.partitionBy("bucket")
-            v = (
-                v.withColumn("__bsz", F.count(F.lit(1)).over(bw))
-                .filter(F.col("__bsz") <= max_bucket)
-                .drop("__bsz")
-            )
+        v = cap_buckets(
+            v.withColumn("bucket", quantize_bucket(F.col("vec"))),
+            ["bucket"],
+            max_bucket,
+        )
         a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
         b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
@@ -161,18 +160,17 @@ def ann_bucketed_topk(
     degenerate quantization cells from the VECTOR side (same cap as
     cosine_near_dup_pairs) so one overloaded cell can't absorb every
     probe; None disables."""
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        quantize_bucket(F.col(vec_col)).alias("bucket"),
+    from vector_spark.datapipe.dedup import cap_buckets
+
+    v = cap_buckets(
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            quantize_bucket(F.col(vec_col)).alias("bucket"),
+        ),
+        ["bucket"],
+        max_bucket,
     )
-    if max_bucket is not None:
-        bw = Window.partitionBy("bucket")
-        v = (
-            v.withColumn("__bsz", F.count(F.lit(1)).over(bw))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
@@ -269,10 +267,14 @@ def ivf_centroids(
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    seed_rows = sorted(
-        v.filter(F.col("id") < n_centroids).collect(), key=lambda r: r["id"]
-    )
+    # genuinely the n lowest ids (TakeOrderedAndProject), not id < n —
+    # id spaces need not start at 0
+    seed_rows = v.orderBy("id").limit(n_centroids).collect()
     seeds: Centroids = [(int(r["id"]), list(r["vec"])) for r in seed_rows]
+    if len(seeds) < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} vectors to seed IVF, got {len(seeds)}"
+        )
     comps = (
         v.withColumn("cluster", nearest_cluster(F.col("vec"), seeds))
         .select("cluster", F.posexplode("vec").alias("pos", "val"))
@@ -321,11 +323,14 @@ def ivf_topk(
         )
         .withColumn("cluster", F.explode(probe_clusters(F.col("qvec"), cent, probes)))
     )
+    # no dedup needed: each vector lives in exactly ONE cluster and a
+    # query's probe list is distinct, so (qid, vec_id) matches at most
+    # once — a defensive dropDuplicates here would cost a full
+    # exchange of the candidate set for nothing
     scored = (
         v.join(F.broadcast(q), "cluster")
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 6))
-        .dropDuplicates(["qid", "vec_id"])
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (

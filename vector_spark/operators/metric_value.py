@@ -167,7 +167,11 @@ def distribution_stats(
     mergeable bounded-error analogue of the reference's DDSketch."""
     quantiles = quantiles or [0.5, 0.95, 0.99]
     s = F.col(samples_col)
-    vals = F.transform(s, lambda x: x["value"])
+    # min/max must see only samples that actually occur (rate >= 1) —
+    # otherwise max could exceed q100 for the same distribution
+    vals = F.transform(
+        F.filter(s, lambda x: x["rate"] >= 1), lambda x: x["value"]
+    )
     rates = F.transform(s, lambda x: x["rate"])
     cnt = F.aggregate(rates, F.lit(0).cast("bigint"), lambda a, x: a + x)
     total = F.aggregate(

@@ -1994,7 +1994,7 @@ def _cos_sql(a: str, b: str) -> str:
 
 SQL_DP_ANN_IVF = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-seeds AS (SELECT vec_id AS cluster, vec AS cvec FROM v WHERE vec_id < 8),
+seeds AS (SELECT vec_id AS cluster, vec AS cvec FROM v ORDER BY vec_id LIMIT 8),
 a0 AS (
   SELECT vec_id, vec, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn

@@ -56,6 +56,11 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     acc = 0
     while True:
+        if shift > 63:
+            # a valid avro long is at most 10 varint bytes; anything
+            # longer is corrupt — raise so decode_avro's error channel
+            # yields NULL instead of overflowing Arrow int64 later
+            raise ValueError("varint exceeds 64 bits (corrupt avro)")
         b = buf[pos]
         pos += 1
         acc |= (b & 0x7F) << shift
@@ -192,6 +197,8 @@ def _avro_decode_value(buf: bytes, pos: int, t) -> tuple[object, int]:
         return _struct.unpack_from("<d", buf, pos)[0], pos + 8
     if t in ("bytes", "string"):
         n, pos = _zigzag_decode(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("corrupt avro length prefix")
         raw = buf[pos : pos + n]
         return (raw.decode("utf-8") if t == "string" else bytes(raw)), pos + n
     raise ValueError(f"unsupported avro type {t!r}")
@@ -592,7 +599,12 @@ def write_avro_files(df, path: str, schema_json: str, cols: list[str]) -> int:
     """Partition-parallel OCF sink: each Spark partition writes one
     part-<pid>.avro under `path` (the reference's avro serializer +
     a file sink). Payloads are encoded executor-side; nothing rides
-    through the driver. Returns the file count."""
+    through the driver. Returns the file count.
+
+    SCOPE: `path` must be a POSIX path visible to every executor
+    (local mode, NFS, or a fuse mount) — executors write with plain
+    open(). An object-store variant would route the same ocf_encode
+    bytes through the Hadoop FileSystem API instead."""
     import os
 
     schema = json.loads(schema_json)
@@ -626,7 +638,9 @@ def read_avro_files(spark, path: str):
     """OCF source: binaryFile scan + per-file block decode, schema
     taken from each file's own metadata (files are self-describing).
     Scan-parallel: one task per file split, rows never visit the
-    driver."""
+    driver (only ONE file header is peeked driver-side for the output
+    schema). Same SCOPE as write_avro_files: POSIX paths — the
+    driver-side header peek uses glob/open."""
     raw = spark.read.format("binaryFile").load(path + "/*.avro")
 
     def decode(batches):
@@ -653,7 +667,13 @@ def read_avro_files(spark, path: str):
     import glob as _glob
     import os as _os
 
-    first = sorted(_glob.glob(_os.path.join(path, "*.avro")))[0]
+    matches = sorted(_glob.glob(_os.path.join(path, "*.avro")))
+    if not matches:
+        raise ValueError(
+            f"no *.avro files under {path!r} (read_avro_files takes a "
+            "local/POSIX directory — see docstring scope)"
+        )
+    first = matches[0]
     with open(first, "rb") as fh:
         head = fh.read()
     schema_json, _ = ocf_decode(head)

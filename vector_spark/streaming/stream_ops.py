@@ -281,9 +281,16 @@ def stream_tag_cardinality_limit(
         accepted = list(state.get[0]) if state.exists else []
         seen = set(accepted)
         rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
-            for r in pdf.itertuples(index=False):
+        # 'first seen' must follow ts order across the WHOLE
+        # micro-batch — Arrow delivers the group as several chunks, so
+        # sorting per chunk would make the accept set depend on chunk
+        # boundaries; concat first, sort once
+        chunks = [pdf for pdf in pdf_iter]
+        batch = (
+            pd.concat(chunks).sort_values(ts_col) if chunks else pd.DataFrame()
+        )
+        if len(batch):
+            for r in batch.itertuples(index=False):
                 d = {c: getattr(r, c) for c in cols if c != "__tag_group"}
                 v = d.get(tag_col)
                 if v is None or v in seen:
