@@ -1,0 +1,75 @@
+"""Gopher-style repetition signals and benchmark decontamination:
+value semantics on hand-built corpora plus the scale-plan assertions
+(repetition = zero exchanges; decontamination = broadcast join, no
+shuffle of the corpus n-gram side before the hit filter)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_spark.datapipe.dedup import decontaminate
+from vector_spark.datapipe.textstats import repetition_signals
+
+
+def test_repetition_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam eggs"),  # top word 4/5
+            (2, "a b c d e f"),  # no repeats
+            (3, "x y x y x y x y"),  # bigram 'x y' repeated
+            (4, "solo"),  # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1.n_words == 5 and r1.top_word_count == 4
+    assert abs(r1.top_word_frac - 0.8) < 1e-9
+    assert r1.is_repetitive
+    r2 = out[2]
+    assert r2.top_word_count == 1 and r2.dup_2gram_frac == 0.0
+    assert not r2.is_repetitive
+    r3 = out[3]
+    # 7 bigrams: 'x y' x4, 'y x' x3 -> 2 distinct -> 5/7 duplicates
+    assert abs(r3.dup_2gram_frac - 5 / 7) < 1e-6
+    assert r3.is_repetitive
+    r4 = out[4]
+    assert r4.n_words == 1 and r4.dup_2gram_frac == 0.0
+
+
+def test_repetition_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_hits(spark):
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "entirely different words appear here only"),
+            (12, "quick brown fox runs fast and quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "a quick brown fox question")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_hits for r in decontaminate(corpus, bench, n=3).collect()}
+    # 'quick brown fox' is the only shared 3-gram; distinct per doc
+    assert out == {10: 1, 12: 1}
+
+
+def test_decontaminate_broadcasts_bench(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(2, "c d e f g")], "doc_id long, text string")
+    plan = (
+        decontaminate(corpus, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -323,3 +323,33 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM
+    n-gram-overlap rule): flag corpus documents sharing any word
+    n-gram with an evaluation set. Returns (doc_id, n_hits) where
+    n_hits counts the DISTINCT contaminated n-grams of that document
+    (documents with no overlap are absent — the common case at scale;
+    anti-join the result to keep the clean corpus).
+
+    100 TB design: the eval set is tiny next to the corpus, so its
+    distinct hashed n-grams BROADCAST; the corpus side is one scan —
+    n-gram explode, broadcast hash-join, then a groupBy that only
+    moves the contaminated (doc, gram) survivors. N-grams ride as
+    8-byte portable hash ids (shingles_hashed), never as strings.
+    """
+    cg = shingles_hashed(corpus, id_col, text_col, n=n)
+    bg = shingles_hashed(bench, id_col, text_col, n=n).select("h").distinct()
+    return (
+        cg.join(F.broadcast(bg), "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("id").alias("doc_id"), "n_hits")
+    )

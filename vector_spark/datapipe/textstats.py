@@ -79,3 +79,67 @@ def lang_guess(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Canonical document fingerprint: md5 of normalized text."""
     return F.md5(normalize_text(col))
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 appendix A1.1,
+    also used by RefinedWeb/Dolma), word-level for a corpus without
+    line structure:
+
+    - ``top_word_frac``  — occurrences of the most frequent word /
+      total words (the top-1-gram fraction rule),
+    - ``dup_{n}gram_frac`` — fraction of word n-grams that are repeats
+      of an earlier n-gram in the same document,
+    - ``is_repetitive``  — Gopher-ish thresholds (>0.20 top-word or
+      >0.30 duplicate-n-gram).
+
+    100 TB design: ZERO shuffles — every signal is a projection over
+    the row's own word array (the most-frequent-word count is the
+    longest run in the sorted array, computed with one F.aggregate
+    fold), so the operator composes with any scan at scan speed.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    sw = F.sort_array(words)
+    run0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_count = F.aggregate(sw, run0, step, lambda acc: acc["best"])
+    k = F.size(words) - (n - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    n_words = F.size(words).cast("bigint")
+    n_grams = F.size(grams).cast("bigint")
+    top_frac = F.round(
+        top_count.cast("double") / F.greatest(n_words, F.lit(1)), 6
+    )
+    dup_frac = F.round(
+        (n_grams - F.size(F.array_distinct(grams))).cast("double")
+        / F.greatest(n_grams, F.lit(1)),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        top_count.cast("bigint").alias("top_word_count"),
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias(f"dup_{n}gram_frac"),
+        ((top_frac > 0.2) | (dup_frac > 0.3)).alias("is_repetitive"),
+    )

@@ -743,6 +743,70 @@ FROM h
 """
 
 
+def q_dp_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.datapipe.textstats import repetition_signals
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text", n=2)
+
+
+# the engine computes the per-document signals as zero-shuffle array
+# projections; the oracle re-derives them relationally (unnest + group)
+SQL_DP_REPETITION = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+wrd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+wc AS (SELECT doc_id, word, count(*) AS c FROM wrd GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_word_count, sum(c) AS n_words
+        FROM wc GROUP BY 1),
+g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+      FROM w, unnest(range(1, len(ws))) AS t(i)),
+gc AS (SELECT doc_id, count(*) AS n_grams,
+              count(DISTINCT gram) AS n_distinct
+       FROM g GROUP BY 1)
+SELECT top.doc_id,
+       CAST(top.n_words AS BIGINT) AS n_words,
+       CAST(top.top_word_count AS BIGINT) AS top_word_count,
+       round(top.top_word_count / greatest(top.n_words, 1), 6) AS top_word_frac,
+       round(coalesce((gc.n_grams - gc.n_distinct) / greatest(gc.n_grams, 1), 0),
+             6) AS dup_2gram_frac,
+       (round(top.top_word_count / greatest(top.n_words, 1), 6) > 0.2
+        OR round(coalesce((gc.n_grams - gc.n_distinct) / greatest(gc.n_grams, 1),
+                 0), 6) > 0.3) AS is_repetitive
+FROM top LEFT JOIN gc USING (doc_id)
+"""
+
+
+def q_dp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.datapipe.dedup import decontaminate
+
+    docs = _tbl(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=3)
+
+
+SQL_DP_DECONTAMINATE = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+cg AS (
+  SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(
+           array_to_string(ws[i:i+2], ' ')), 1, 15)) AS BIGINT)
+         % 2147483647 AS h
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE doc_id % 97 <> 0),
+bg AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(
+           array_to_string(ws[i:i+2], ' ')), 1, 15)) AS BIGINT)
+         % 2147483647 AS h
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+  WHERE doc_id % 97 = 0)
+SELECT cg.doc_id, count(*) AS n_hits
+FROM cg JOIN bg USING (h)
+GROUP BY 1
+"""
+
+
 _MH_N = 4
 
 
@@ -2225,6 +2289,8 @@ QUERIES = {
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
     "op_route_kind": q_op_route_kind,
     "dp_ann_ivf": q_dp_ann_ivf,
+    "dp_repetition": q_dp_repetition,
+    "dp_decontaminate": q_dp_decontaminate,
     # -- unchecked in r2 (driver 50-query cap); re-evidence first
     "op_agg_salted": q_op_agg_salted,
     "op_aggregate_metrics": q_op_aggregate_metrics,
@@ -2300,6 +2366,8 @@ ORACLES = {
     "op_parse_grok_aliases": SQL_OP_PARSE_GROK_ALIASES,
     "op_route_kind": SQL_OP_ROUTE_KIND,
     "dp_ann_ivf": SQL_DP_ANN_IVF,
+    "dp_repetition": SQL_DP_REPETITION,
+    "dp_decontaminate": SQL_DP_DECONTAMINATE,
     "pipe_parse_typed": SQL_PIPE_PARSE_TYPED,
     "pipe_dropped": SQL_PIPE_DROPPED,
     "pipe_enrich_tools": SQL_PIPE_ENRICH_TOOLS,
