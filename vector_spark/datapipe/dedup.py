@@ -92,15 +92,20 @@ def shingle_id(col: Column) -> Column:
     return F.pmod(hex_prefix_to_long(F.md5(col)), F.lit(MH_P))
 
 
-def shingles_hashed(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, h) — distinct word n-grams as portable numeric ids. The
-    string shingle is hashed BEFORE the distinct, so the dedup shuffle
-    and every downstream join move 8-byte longs instead of ~20-byte
-    shingle strings. Dedup is by hash id, not by string: two distinct
-    shingles of one document colliding mod 2^31-1 would merge — a
-    ~1e-5-per-document event the LSH ORACLE reproduces exactly
-    (DuckDB computes the identical md5-derived id before its
-    DISTINCT), so engine parity holds by construction."""
+def shingles_hashed(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, h) — word n-grams as portable numeric ids, distinct per
+    document by default. The string shingle is hashed BEFORE the
+    distinct, so the dedup shuffle and every downstream join move
+    8-byte longs instead of ~20-byte shingle strings. Dedup is by
+    hash id, not by string: two distinct shingles of one document
+    colliding mod 2^31-1 would merge — a ~1e-5-per-document event the
+    LSH ORACLE reproduces exactly (DuckDB computes the identical
+    md5-derived id before its DISTINCT), so engine parity holds by
+    construction. distinct=False skips the dedup shuffle — for
+    consumers that filter first and dedup the (much smaller) survivor
+    set, e.g. decontaminate."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     k = F.size(words) - (n - 1)
     idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
@@ -109,12 +114,12 @@ def shingles_hashed(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     sh = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
     )
-    return (
+    raw = (
         _spread(df)
         .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .select("id", shingle_id(F.col("shingle")).alias("h"))
-        .distinct()
     )
+    return raw.distinct() if distinct else raw
 
 
 def minhash_signatures(
@@ -342,14 +347,17 @@ def decontaminate(
     100 TB design: the eval set is tiny next to the corpus, so its
     distinct hashed n-grams BROADCAST; the corpus side is one scan —
     n-gram explode, broadcast hash-join, then a groupBy that only
-    moves the contaminated (doc, gram) survivors. N-grams ride as
-    8-byte portable hash ids (shingles_hashed), never as strings.
+    moves the contaminated (doc, gram) survivors: the corpus n-grams
+    are deliberately NOT pre-deduped (that would shuffle the whole
+    corpus n-gram set); the per-doc distinct runs on the post-filter
+    hits via count_distinct. N-grams ride as 8-byte portable hash ids
+    (shingles_hashed), never as strings.
     """
-    cg = shingles_hashed(corpus, id_col, text_col, n=n)
+    cg = shingles_hashed(corpus, id_col, text_col, n=n, distinct=False)
     bg = shingles_hashed(bench, id_col, text_col, n=n).select("h").distinct()
     return (
         cg.join(F.broadcast(bg), "h")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.count_distinct("h").alias("n_hits"))
         .select(F.col("id").alias("doc_id"), "n_hits")
     )
