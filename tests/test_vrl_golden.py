@@ -31,7 +31,8 @@ Functions with golden parity here (4x: file citation in each case):
   length encrypt decrypt is_ipv6 for_each get set del only_fields
   exists get_env_var get_hostname assert ip_ntop ip_pton
   parse_aws_cloudwatch_log_subscription_message
-  — 119 functions with replayed parity
+  mod_func remove match_datadog_query
+  — 122 functions with replayed parity: EVERY registry callable
 
 Documented dialect divergences (asserted with translated inputs):
   * regex patterns/replacements are Java-dialect ((?<g>..)/$1) not
@@ -684,6 +685,26 @@ CASES = [
     ),
     # assert.rs (success is silent/NULL)
     ("assert_ok", lambda: _fn("assert")(L(True)), None),
+    # mod_func.rs example: mod(5, 3) == 2
+    ("mod_func", lambda: _fn("mod_func")(L(5), L(3)), 2),
+    # remove.rs examples: drop a field / unknown path is a no-op /
+    # nested path (the {} result renders as the remaining siblings —
+    # Spark structs are typed, so an all-fields drop isn't a case here)
+    (
+        "path_remove",
+        lambda: _fn("remove")(F.struct(L("bar").alias("foo"), L(1).alias("k")), "foo"),
+        {"k": 1},
+    ),
+    (
+        "path_remove_nested",
+        lambda: _fn("remove")(
+            F.struct(
+                F.struct(L(True).alias("bar"), L(2).alias("z")).alias("foo")
+            ),
+            "foo.bar",
+        ),
+        {"foo": {"z": 2}},
+    ),
     # ip_pton.rs / ip_ntop.rs (both families, stdlib inet_pton/ntop)
     ("ip_pton_v4", lambda: _fn("ip_ntop")(_fn("ip_pton")(L("1.2.3.4"))), "1.2.3.4"),
     ("ip_pton_v6", lambda: _fn("ip_ntop")(_fn("ip_pton")(L("::1"))), "::1"),
@@ -759,6 +780,34 @@ def test_vrl_golden_unnest(spark):
         ("localhost", "hello"),
         ("localhost", "world"),
     ]
+
+
+def test_vrl_golden_match_datadog_query(spark):
+    """match_datadog_query.rs examples — the registry callable is the
+    dd_query compiler (query + DataFrame -> Column predicate), so each
+    example evaluates its compiled Column over the example's event
+    frame: OR query -> true; AND query (one term absent) -> false;
+    facet wildcard @name:vec* against custom.name; tag range
+    b:[\"x\" TO \"z\"] against the tags array."""
+    fn = _fn("match_datadog_query")
+
+    or_df = spark.createDataFrame([("contains this and that",)], "message string")
+    assert or_df.select(fn("this OR that", or_df).alias("v")).first().v is True
+
+    and_df = spark.createDataFrame([("contains only this",)], "message string")
+    assert and_df.select(fn("this AND that", and_df).alias("v")).first().v is False
+
+    facet_df = spark.createDataFrame(
+        [(("vector",),)], "custom struct<name:string>"
+    )
+    assert facet_df.select(fn("@name:vec*", facet_df).alias("v")).first().v is True
+
+    tag_df = spark.createDataFrame(
+        [(["a:x", "b:y", "c:z"],)], "tags array<string>"
+    )
+    assert (
+        tag_df.select(fn('b:["x" TO "z"]', tag_df).alias("v")).first().v is True
+    )
 
 
 def test_registry_counts_hold():
