@@ -93,6 +93,8 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "op_decode_native_proto",
         "op_cardinality",
         "dp_ann_ivf",
+        "dp_repetition",
+        "dp_decontaminate",
     ]
     for name in secondary:
         fn = QUERIES[name]
