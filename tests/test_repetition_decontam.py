@@ -37,6 +37,20 @@ def test_repetition_values(spark):
     assert r4.n_words == 1 and r4.dup_2gram_frac == 0.0
 
 
+def test_repetition_null_and_empty_text(spark):
+    """NULL / '' / whitespace text: zeroed signals, never flagged,
+    row preserved (parity with the oracle's LEFT JOIN shape)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert r.n_words == 0 and r.top_word_count == 0
+        assert r.top_word_frac == 0.0 and r.dup_2gram_frac == 0.0
+        assert r.is_repetitive is False
+
+
 def test_repetition_zero_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()

@@ -816,4 +816,5 @@ def test_registry_counts_hold():
 
     s = coverage_summary()
     assert s["total"] == 143
-    assert s["with_callable"] >= 99
+    # every callable has golden parity above — the surface must not shrink
+    assert s["with_callable"] >= 122

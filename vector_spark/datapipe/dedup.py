@@ -68,18 +68,31 @@ def exact_dedup_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) — distinct word n-grams. posexplode over a
-    sequence keeps it JVM-side."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+def word_tokens(col: Column) -> Column:
+    """Whitespace word array; NULL / empty / whitespace-only text is
+    an EMPTY array (split would yield [''] — one phantom word)."""
+    t = F.coalesce(F.trim(col), F.lit(""))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Word n-grams of a word array, space-joined — the ONE n-gram
+    construction shared by shingles/shingles_hashed (dedup, LSH,
+    decontaminate) and textstats.repetition_signals."""
     k = F.size(words) - (n - 1)
     # guard: Spark sequence(0, -1) would produce a DESCENDING array
     idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    sh = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
-    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams. posexplode over a
+    sequence keeps it JVM-side."""
+    sh = word_ngrams(word_tokens(F.col(text_col)), n)
     return (
         _spread(df)
         .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
@@ -106,14 +119,7 @@ def shingles_hashed(
     construction. distinct=False skips the dedup shuffle — for
     consumers that filter first and dedup the (much smaller) survivor
     set, e.g. decontaminate."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    k = F.size(words) - (n - 1)
-    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
-    )
+    sh = word_ngrams(word_tokens(F.col(text_col)), n)
     raw = (
         _spread(df)
         .select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
@@ -354,7 +360,11 @@ def decontaminate(
     (shingles_hashed), never as strings.
     """
     cg = shingles_hashed(corpus, id_col, text_col, n=n, distinct=False)
-    bg = shingles_hashed(bench, id_col, text_col, n=n).select("h").distinct()
+    bg = (
+        shingles_hashed(bench, id_col, text_col, n=n, distinct=False)
+        .select("h")
+        .distinct()
+    )
     return (
         cg.join(F.broadcast(bg), "h")
         .groupBy("id")

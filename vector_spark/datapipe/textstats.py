@@ -102,8 +102,13 @@ def repetition_signals(
     the row's own word array (the most-frequent-word count is the
     longest run in the sorted array, computed with one F.aggregate
     fold), so the operator composes with any scan at scan speed.
+
+    NULL / empty / whitespace-only text yields n_words = 0 and zeroed
+    signals (word_tokens semantics, consistent with token_count).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    from vector_spark.datapipe.dedup import word_ngrams, word_tokens
+
+    words = word_tokens(F.col(text_col))
     sw = F.sort_array(words)
     run0 = F.struct(
         F.lit("").alias("prev"),
@@ -120,11 +125,7 @@ def repetition_signals(
         )
 
     top_count = F.aggregate(sw, run0, step, lambda acc: acc["best"])
-    k = F.size(words) - (n - 1)
-    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    grams = word_ngrams(words, n)
     n_words = F.size(words).cast("bigint")
     n_grams = F.size(grams).cast("bigint")
     top_frac = F.round(

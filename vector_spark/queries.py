@@ -751,9 +751,13 @@ def q_dp_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the engine computes the per-document signals as zero-shuffle array
-# projections; the oracle re-derives them relationally (unnest + group)
+# projections; the oracle re-derives them relationally (unnest + group).
+# NULL/empty text -> empty word array (word_tokens semantics), so every
+# document row survives with zeroed signals (LEFT JOINs + coalesce)
 SQL_DP_REPETITION = r"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+WITH w AS (SELECT doc_id,
+                  CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
            FROM documents),
 wrd AS (SELECT doc_id, unnest(ws) AS word FROM w),
 wc AS (SELECT doc_id, word, count(*) AS c FROM wrd GROUP BY 1, 2),
@@ -764,16 +768,17 @@ g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
 gc AS (SELECT doc_id, count(*) AS n_grams,
               count(DISTINCT gram) AS n_distinct
        FROM g GROUP BY 1)
-SELECT top.doc_id,
-       CAST(top.n_words AS BIGINT) AS n_words,
-       CAST(top.top_word_count AS BIGINT) AS top_word_count,
-       round(top.top_word_count / greatest(top.n_words, 1), 6) AS top_word_frac,
+SELECT w.doc_id,
+       CAST(coalesce(top.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(top.top_word_count, 0) AS BIGINT) AS top_word_count,
+       round(coalesce(top.top_word_count / greatest(top.n_words, 1), 0), 6
+             ) AS top_word_frac,
        round(coalesce((gc.n_grams - gc.n_distinct) / greatest(gc.n_grams, 1), 0),
              6) AS dup_2gram_frac,
-       (round(top.top_word_count / greatest(top.n_words, 1), 6) > 0.2
+       (round(coalesce(top.top_word_count / greatest(top.n_words, 1), 0), 6) > 0.2
         OR round(coalesce((gc.n_grams - gc.n_distinct) / greatest(gc.n_grams, 1),
                  0), 6) > 0.3) AS is_repetitive
-FROM top LEFT JOIN gc USING (doc_id)
+FROM w LEFT JOIN top USING (doc_id) LEFT JOIN gc USING (doc_id)
 """
 
 
