@@ -219,3 +219,99 @@ _date_access = '%{date("dd/MMM/yyyy:HH:mm:ss Z"):date_access}'
     assert rows[0]["network.client.ip"] == "10.2.3.4"
     assert rows[0]["http.status_code"] == "200"
     assert rows[0]["http.url"] == "/i.html"
+
+
+def test_toml_syslog_log2metric_regression_shape(spark):
+    """regression/cases/syslog_regex_logs2metric_ddmetrics/vector/
+    vector.toml replayed on this compiler's TOML surface: syslog frame
+    -> remap parse_regex of .host into hostname/tld -> log_to_metric
+    gauge of procid tagged by hostname/facility/severity."""
+    import datetime
+
+    from vector_spark.plans.pipeline import Pipeline
+
+    toml_text = r'''
+[sources.syslog]
+type = "injected"
+
+[transforms.remap]
+type = "remap"
+inputs = ["syslog"]
+exprs.hostname = "regexp_extract(host, '^([a-z]+)\\.([a-z]+)', 1)"
+exprs.tld = "regexp_extract(host, '^([a-z]+)\\.([a-z]+)', 2)"
+
+[transforms.log2metric]
+type = "log_to_metric"
+inputs = ["remap"]
+
+[[transforms.log2metric.metrics]]
+mtype = "gauge"
+name = "procid"
+value = "procid"
+kind = "absolute"
+tags.hostname = "hostname"
+tags.facility = "facility"
+tags.severity = "severity"
+'''
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("alpha.com", 101.0, "auth", "info", t0),
+            ("beta.org", 202.0, "daemon", "err", t0),
+        ],
+        "host string, procid double, facility string, severity string, ts timestamp",
+    )
+    ports = Pipeline.from_toml(toml_text, spark).compile({"syslog": df})
+    rows = {r.tags["hostname"]: r for r in ports["log2metric"].collect()}
+    assert set(rows) == {"alpha", "beta"}
+    a = rows["alpha"]
+    assert a.name == "procid" and a.value == 101.0
+    assert a.tags["facility"] == "auth" and a.tags["severity"] == "info"
+    assert rows["beta"].tags["severity"] == "err"
+
+
+def test_toml_splunk_route_s3_regression_shape(spark, tmp_path):
+    """regression/cases/splunk_hec_route_s3/vector/vector.toml
+    replayed: route on attrs.c2cContainerType == 'service' vs sidecar,
+    each port landing in its own key-template partitioned sink
+    (key_prefix service/{{attrs.c2cService}}/... -> partitionBy
+    columns)."""
+    from vector_spark.plans.pipeline import Pipeline
+    from vector_spark.sinks import write_partitioned
+
+    toml_text = r'''
+[sources.splunk]
+type = "injected"
+
+[transforms.container_type]
+type = "route"
+inputs = ["splunk"]
+conditions.service = "attrs.c2cContainerType = 'service'"
+conditions.sidecar = "attrs.c2cContainerType != 'service'"
+'''
+    df = spark.createDataFrame(
+        [
+            (("service", "api"), "m1"),
+            (("sidecar", "api"), "m2"),
+            (("sidecar", "worker"), "m3"),
+        ],
+        "attrs struct<c2cContainerType:string,c2cService:string>, message string",
+    )
+    ports = Pipeline.from_toml(toml_text, spark).compile({"splunk": df})
+    assert ports["container_type.service"].count() == 1
+    assert ports["container_type.sidecar"].count() == 2
+    assert ports["container_type._unmatched"].count() == 0
+
+    # the reference's key_prefix .../service/{{attrs.c2cService}}/...
+    # renders as a partition column per template field
+    from pyspark.sql import functions as F
+
+    sidecar = ports["container_type.sidecar"].withColumn(
+        "service", F.col("attrs.c2cService")
+    )
+    out = str(tmp_path / "s3_sidecar")
+    write_partitioned(sidecar, out, partition_cols=["service"])
+    dirs = sorted(
+        p.name for p in (tmp_path / "s3_sidecar").iterdir() if p.is_dir()
+    )
+    assert dirs == ["service=api", "service=worker"]
