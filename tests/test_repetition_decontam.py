@@ -87,3 +87,30 @@ def test_decontaminate_broadcasts_bench(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_differential_random_corpus(spark):
+    """Differential check against a pure-Python reference on 200
+    seeded random word-soup docs (one Spark job): the sorted-array
+    run-length fold must equal collections.Counter's most_common, and
+    the dup-bigram fraction must match the set-based count."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(20240817)
+    vocab = ["a", "bb", "ccc", "dd", "e", "spam", "x1", "y_2"]
+    docs = []
+    for i in range(200):
+        n = rng.randint(0, 30)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    for i, text in docs:
+        words = text.split() if text.strip() else []
+        top = Counter(words).most_common(1)[0][1] if words else 0
+        grams = [" ".join(words[j : j + 2]) for j in range(len(words) - 1)]
+        dup = len(grams) - len(set(grams))
+        r = got[i]
+        assert r.n_words == len(words), (i, text)
+        assert r.top_word_count == top, (i, text)
+        assert abs(r.dup_2gram_frac - (dup / max(len(grams), 1))) < 1e-6, (i, text)
