@@ -114,3 +114,36 @@ def test_repetition_differential_random_corpus(spark):
         assert r.n_words == len(words), (i, text)
         assert r.top_word_count == top, (i, text)
         assert abs(r.dup_2gram_frac - (dup / max(len(grams), 1))) < 1e-6, (i, text)
+
+
+def test_split_assign_stable_and_proportional(spark):
+    from vector_spark.datapipe.textstats import split_assign
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in split_assign(df).select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in split_assign(df).select("doc_id", "split").collect()}
+    assert a == b  # rerun never migrates a document
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.97 < c["train"] / 10_000 < 0.99
+    assert c["val"] + c["test"] < 600
+    # changing the salt reshuffles, changing nothing else
+    s2 = {r.doc_id: r.split for r in split_assign(df, salt="v2").select("doc_id", "split").collect()}
+    assert s2 != a
+
+
+def test_top_words_plan_is_take_ordered(spark):
+    """Heavy-hitter top-k must compile to TakeOrderedAndProject —
+    never a global sort or single-partition window."""
+    from vector_spark.datapipe.textstats import top_words
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c b a")], "doc_id long, text string"
+    )
+    out = top_words(df, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = [(r.word, r.n) for r in out.collect()]
+    assert rows == [("a", 3), ("b", 3)]  # tie at 3 -> lexicographic

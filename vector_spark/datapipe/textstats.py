@@ -144,3 +144,57 @@ def repetition_signals(
         dup_frac.alias(f"dup_{n}gram_frac"),
         ((top_frac > 0.2) | (dup_frac > 0.3)).alias("is_repetitive"),
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by portable
+    consistent hash: a document's split depends only on (id, salt) —
+    stable across runs, cluster sizes and engines (md5-derived, the
+    same int64 arithmetic DuckDB replicates), so re-running the
+    pipeline never migrates a document between splits. Fractions are
+    resolved against 10_000 hash buckets in dict order.
+
+    100 TB design: one projection — no shuffle, no sampling pass; the
+    split column composes with any scan/filter at scan speed.
+    """
+    from vector_spark.functions.hashes import hex_prefix_to_long
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    bucket = F.pmod(
+        hex_prefix_to_long(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+        ),
+        F.lit(10_000),
+    )
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        hi = int(round(acc * 10_000))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def top_words(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level top-k word frequencies — the heavy-hitter pattern:
+    explode words, ONE map-side-combinable count shuffle, then
+    TakeOrderedAndProject (per-partition top-k, merge of <= k rows) —
+    no global sort, no single-partition window, scales to any corpus.
+    Ties break to the lexicographically first word."""
+    from vector_spark.datapipe.dedup import word_tokens
+
+    words = df.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("word")).limit(k)

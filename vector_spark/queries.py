@@ -782,6 +782,46 @@ FROM w LEFT JOIN top USING (doc_id) LEFT JOIN gc USING (doc_id)
 """
 
 
+def q_dp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.datapipe.textstats import split_assign
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id").select("doc_id", "split")
+
+
+# portable md5-derived bucket -> identical assignment in both engines
+SQL_DP_SPLIT = r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(doc_id::VARCHAR || ':split-v1'), 1, 15))
+              AS BIGINT) % 10000 AS bucket
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_dp_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.datapipe.textstats import top_words
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return top_words(docs, "text", k=20)
+
+
+SQL_DP_TOP_WORDS = r"""
+WITH w AS (SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+           FROM documents),
+wrd AS (SELECT unnest(ws) AS word FROM w)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM wrd GROUP BY 1
+ORDER BY n DESC, word LIMIT 20
+"""
+
+
 def q_dp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.datapipe.dedup import decontaminate
 
@@ -2296,6 +2336,8 @@ QUERIES = {
     "dp_ann_ivf": q_dp_ann_ivf,
     "dp_repetition": q_dp_repetition,
     "dp_decontaminate": q_dp_decontaminate,
+    "dp_split": q_dp_split,
+    "dp_top_words": q_dp_top_words,
     # -- unchecked in r2 (driver 50-query cap); re-evidence first
     "op_agg_salted": q_op_agg_salted,
     "op_aggregate_metrics": q_op_aggregate_metrics,
@@ -2340,15 +2382,16 @@ QUERIES = {
     "op_decode_prometheus": q_op_decode_prometheus,
     "op_sample_counter": q_op_sample_counter,
     "op_reduce_sessions": q_op_reduce_sessions,
-    # -- training-data pipeline
+    # -- training-data pipeline (shingle internals changed in r3, so
+    # the minhash/jaccard consumers outrank the untouched text stats)
     "dp_exact_dedup": q_dp_exact_dedup,
-    "dp_token_count": q_dp_token_count,
-    "dp_quality": q_dp_quality,
-    "dp_lang_guess": q_dp_lang_guess,
     "dp_minhash_sig": q_dp_minhash_sig,
     "dp_jaccard_pairs": q_dp_jaccard_pairs,
     "dp_cosine_topk": q_dp_cosine_topk,
     # ---- >50 tail: untouched in r3, all green in CORRECTNESS_r02 ----
+    "dp_token_count": q_dp_token_count,
+    "dp_quality": q_dp_quality,
+    "dp_lang_guess": q_dp_lang_guess,
     "dp_cosine_near_dup": q_dp_cosine_near_dup,
     "op_filter": q_op_filter,
     "op_remap_json": q_op_remap_json,
@@ -2373,6 +2416,8 @@ ORACLES = {
     "dp_ann_ivf": SQL_DP_ANN_IVF,
     "dp_repetition": SQL_DP_REPETITION,
     "dp_decontaminate": SQL_DP_DECONTAMINATE,
+    "dp_split": SQL_DP_SPLIT,
+    "dp_top_words": SQL_DP_TOP_WORDS,
     "pipe_parse_typed": SQL_PIPE_PARSE_TYPED,
     "pipe_dropped": SQL_PIPE_DROPPED,
     "pipe_enrich_tools": SQL_PIPE_ENRICH_TOOLS,
