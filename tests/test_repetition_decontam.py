@@ -147,3 +147,36 @@ def test_top_words_plan_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     rows = [(r.word, r.n) for r in out.collect()]
     assert rows == [("a", 3), ("b", 3)]  # tie at 3 -> lexicographic
+
+
+def test_full_ingest_chain_composition(spark):
+    """The new ops compose with clean_corpus the way a pretraining
+    ingest would: clean -> repetition filter -> decontaminate-drop ->
+    split assignment, all one declarative plan; row accounting must
+    be consistent at every stage."""
+    from vector_spark.datapipe.corpus_pipeline import clean_corpus
+    from vector_spark.datapipe.textstats import repetition_signals, split_assign
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = docs.count()
+
+    cleaned = clean_corpus(docs)  # (id, n_words, tokens)
+    kept = docs.join(
+        cleaned.select(F.col("id").alias("doc_id")), "doc_id", "inner"
+    )
+    n_clean = kept.count()
+    assert 0 < n_clean <= n_docs
+
+    rep = repetition_signals(kept).filter(~F.col("is_repetitive"))
+    non_rep = kept.join(rep.select("doc_id"), "doc_id", "inner")
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    hits = decontaminate(non_rep, bench, n=3)
+    final = split_assign(
+        non_rep.join(hits.select("doc_id"), "doc_id", "left_anti")
+    )
+    counts = {r.split: r.n for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) <= n_clean
+    assert counts.get("train", 0) > 0
+    # every surviving doc got exactly one split label
+    assert final.filter(F.col("split").isNull()).count() == 0
