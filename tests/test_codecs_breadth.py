@@ -209,3 +209,19 @@ def test_encode_text_and_raw_message(spark):
     assert row.t == "hello"
     assert bytes(row.r) == b"hello"
     assert row.tn == "42"
+
+
+def test_encode_native_json_roundtrip(spark):
+    """encode_native_json -> decode_native_json recovers the fields
+    map; log events carry no 'metric' key (native_json.rs envelope)."""
+    from vector_spark.sources.codecs import decode_native_json, encode_native_json
+
+    df = spark.createDataFrame(
+        [({"msg": "hi", "lvl": "info"},)], "fields map<string,string>"
+    )
+    enc = df.select(encode_native_json(F.col("fields")).alias("line"))
+    line = enc.first().line
+    assert '"log"' in line and "metric" not in line
+    back = enc.select(decode_native_json(F.col("line")).alias("ev")).first().ev
+    assert back.log["msg"] == "hi" and back.log["lvl"] == "info"
+    assert back.metric is None

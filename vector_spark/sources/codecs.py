@@ -389,6 +389,21 @@ def encode_kv_map(map_col: Column) -> Column:
     return F.array_join(entries, " ")
 
 
+def encode_native_json(
+    log_map: Column | None = None, metric: Column | None = None
+) -> Column:
+    """native_json serializer (lib/codecs/src/encoding/format/
+    native_json.rs): Vector's own event envelope — exactly one of
+    {"log": {...}} / {"metric": {...}} per event; round-trips through
+    decode_native_json. Null map fields are omitted by to_json, so a
+    log event carries no "metric" key (and vice versa)."""
+    if (log_map is None) == (metric is None):
+        raise ValueError("exactly one of log_map/metric required")
+    if log_map is not None:
+        return F.to_json(F.struct(log_map.alias("log")))
+    return F.to_json(F.struct(metric.alias("metric")))
+
+
 def encode_csv(cols: list[str]) -> Column:
     """csv serializer (lib/codecs/src/encoding/format/csv-ish): one
     RFC4180 line per row from the named columns."""
