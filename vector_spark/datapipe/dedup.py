@@ -154,15 +154,26 @@ def cap_buckets(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataF
     degenerate-bucket mitigation shared by LSH band buckets
     (minhash_dedup_pairs) and quantization cells (cosine/ANN paths in
     datapipe.similarity). The 10000 default cap is mirrored in the
-    DuckDB oracles (windowed bucket-size filter). None disables."""
+    DuckDB oracles (windowed bucket-size filter). None disables.
+
+    Plan shape: two-phase count (map-side partial agg, only
+    (key, count) pairs shuffle) then a LEFT ANTI join against the
+    over-cap keys — deliberately NOT a Window.partitionBy(keys) count,
+    which would funnel every row of a degenerate bucket into one task:
+    the exact skew this guard exists to kill. The over-cap key set is
+    small by construction (<= rows/max_bucket keys), so AQE picks a
+    broadcast anti-join at runtime; no hint, so an adversarially huge
+    key set degrades to a shuffled anti-join (AQE skew-split) instead
+    of a driver OOM."""
     if max_bucket is None:
         return df
-    bw = Window.partitionBy(*keys)
-    return (
-        df.withColumn("__bsz", F.count(F.lit(1)).over(bw))
-        .filter(F.col("__bsz") <= max_bucket)
-        .drop("__bsz")
+    big = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket)
+        .select(*keys)
     )
+    return df.join(big, keys, "left_anti")
 
 
 def lsh_band_buckets(
