@@ -6,9 +6,13 @@ or the complement of `fields.ignore`, comparing TYPE-TAGGED serialized
 values (:160-202) through a 5000-entry LRU (:86-90).
 
 Batch Spark semantics: keep the FIRST occurrence per match-key under a
-deterministic order — row_number()==1 over
-Window.partitionBy(match).orderBy(order). Type-tagging is subsumed by
-the fixed table schema (a column's type can't vary per row).
+deterministic order — groupBy(match).agg(min_by(row, order tuple)):
+a map-side-combinable aggregate, so a HOT duplicate key (the very
+thing dedupe exists for) combines within each partition instead of
+funneling every copy into one window task. Order keys are ascending
+(min semantics); pass pre-negated columns for descending. Type-tagging
+is subsumed by the fixed table schema (a column's type can't vary per
+row).
 Divergence (documented, cf. SURVEY.md §2.1): the LRU's
 re-admit-after-eviction behavior is capacity-dependent and
 order-dependent; exact-batch dedupe is strictly stronger (never
@@ -18,7 +22,7 @@ dropDuplicatesWithinWatermark for bounded-state semantics at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -33,11 +37,13 @@ def dedupe(
     cols = match if match is not None else [c for c in df.columns if c not in set(ignore)]
     if order_by is None:
         order_by = [F.col(c) for c in df.columns]
-    w = Window.partitionBy(*cols).orderBy(*order_by)
+    first = F.min_by(
+        F.struct(*[F.col(c) for c in df.columns]), F.struct(*order_by)
+    ).alias("__first")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*cols)
+        .agg(first)
+        .select(*[F.col(f"__first.{c}").alias(c) for c in df.columns])
     )
 
 

@@ -2384,11 +2384,12 @@ QUERIES = {
     "op_reduce_sessions": q_op_reduce_sessions,
     # -- training-data pipeline (shingle internals changed in r3, so
     # the minhash/jaccard consumers outrank the untouched text stats)
-    "dp_exact_dedup": q_dp_exact_dedup,
+    "op_dedupe": q_op_dedupe,  # min_by rework in r3 -> needs driver evidence
     "dp_minhash_sig": q_dp_minhash_sig,
     "dp_jaccard_pairs": q_dp_jaccard_pairs,
     "dp_cosine_topk": q_dp_cosine_topk,
     # ---- >50 tail: untouched in r3, all green in CORRECTNESS_r02 ----
+    "dp_exact_dedup": q_dp_exact_dedup,
     "dp_token_count": q_dp_token_count,
     "dp_quality": q_dp_quality,
     "dp_lang_guess": q_dp_lang_guess,
@@ -2396,7 +2397,6 @@ QUERIES = {
     "op_filter": q_op_filter,
     "op_remap_json": q_op_remap_json,
     "op_sample_keyed": q_op_sample_keyed,
-    "op_dedupe": q_op_dedupe,
     "op_reduce_daily": q_op_reduce_daily,
     "op_throttle": q_op_throttle,
     "op_enrich_dim": q_op_enrich_dim,
