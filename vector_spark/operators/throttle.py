@@ -25,6 +25,11 @@ def throttle(
     order_by: list[Column] | None = None,
     exclude: Column | None = None,
 ) -> DataFrame:
+    # skew note: the rn <= threshold filter compiles to
+    # WindowGroupLimit in PARTIAL mode (verified in the executed
+    # plan), so each partition pre-caps a hot key at `threshold` rows
+    # before the exchange — a viral key ships threshold x partitions
+    # rows, never its full volume, to the final window task.
     bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / window_secs)
     parts = [bucket]
     if key is not None:
