@@ -315,3 +315,75 @@ conditions.sidecar = "attrs.c2cContainerType != 'service'"
         p.name for p in (tmp_path / "s3_sidecar").iterdir() if p.is_dir()
     )
     assert dirs == ["service=api", "service=worker"]
+
+
+def test_pipelines_macro_transform(spark):
+    """The reference's `pipelines` macro transform
+    (src/transforms/pipelines/mod.rs module doc): type router by
+    kind, chained sub-pipelines per kind, filter-gated sub-pipelines
+    bypass non-matching events to the next stage, unrouted kinds pass
+    through untouched."""
+    from vector_spark.plans.pipeline import Pipeline
+
+    spec = {
+        "sources": {"ev": {"type": "injected"}},
+        "transforms": {
+            "my_pipes": {
+                "type": "pipelines",
+                "inputs": ["ev"],
+                "logs": [
+                    # p0: unconditional — tag every log
+                    {
+                        "name": "foo",
+                        "transforms": [
+                            {
+                                "type": "remap",
+                                "exprs": {"stage": "'p0'"},
+                                "drop_on_error": False,
+                            }
+                        ],
+                    },
+                    # p1: only value > 10 goes through; rest bypass
+                    {
+                        "name": "bar",
+                        "filter": "value > 10",
+                        "transforms": [
+                            {
+                                "type": "remap",
+                                "exprs": {"stage": "'p1'"},
+                                "drop_on_error": False,
+                            }
+                        ],
+                    },
+                ],
+                "metrics": [
+                    {
+                        "name": "hello",
+                        "transforms": [
+                            {
+                                "type": "remap",
+                                "exprs": {"stage": "'m0'"},
+                                "drop_on_error": False,
+                            }
+                        ],
+                    }
+                ],
+            }
+        },
+    }
+    df = spark.createDataFrame(
+        [
+            ("log", 5, "a"),
+            ("log", 50, "b"),
+            ("metric", 1, "c"),
+            ("trace", 2, "d"),  # no traces pipeline -> untouched
+        ],
+        "kind string, value long, name string",
+    )
+    ports = Pipeline(spec, spark).compile({"ev": df})
+    rows = {r.name: r for r in ports["my_pipes"].collect()}
+    assert len(rows) == 4
+    assert rows["a"].stage == "p0"  # bypassed p1's filter
+    assert rows["b"].stage == "p1"  # went through both
+    assert rows["c"].stage == "m0"
+    assert rows["d"].stage is None  # unrouted kind, null-filled column

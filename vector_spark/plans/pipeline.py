@@ -258,6 +258,51 @@ class Pipeline:
                     literal_text=t.get("literal_text", False),
                 ),
             )
+        elif kind == "pipelines":
+            # macro transform (src/transforms/pipelines/mod.rs:1-106):
+            # a type router splits events by kind; per kind, named
+            # sub-pipelines CHAIN — a sub-pipeline with a filter
+            # transforms only matching events while the rest bypass
+            # to the next stage (filter._dropped wiring in the
+            # reference's expansion); kinds with no pipeline list pass
+            # through untouched (type_router._dropped). Sub-transforms
+            # register their own ports as {name}_{etype}_{i}_t{j}.
+            kind_col = t.get("kind_col", "kind")
+            outs = []
+            routed_kinds = []
+            for etype, kname in (
+                ("logs", "log"),
+                ("metrics", "metric"),
+                ("traces", "trace"),
+            ):
+                pipes = t.get(etype, [])
+                if not pipes:
+                    continue
+                routed_kinds.append(kname)
+                cur = df.filter(F.col(kind_col) == kname)
+                for i, p in enumerate(pipes):
+                    if "filter" in p:
+                        c = F.coalesce(_cond(p["filter"], cur), F.lit(False))
+                        matched, bypass = cur.filter(c), cur.filter(~c)
+                    else:
+                        matched, bypass = cur, None
+                    sub = matched
+                    for j, sub_t in enumerate(p.get("transforms", [])):
+                        subname = f"{name}_{etype}_{i}_t{j}"
+                        self._apply(subname, sub_t, sub, ports)
+                        sub = ports[subname]
+                    cur = (
+                        sub
+                        if bypass is None
+                        else sub.unionByName(bypass, allowMissingColumns=True)
+                    )
+                outs.append(cur)
+            if routed_kinds:
+                outs.append(df.filter(~F.col(kind_col).isin(routed_kinds)))
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.unionByName(o, allowMissingColumns=True)
+            ports[name] = out
         elif kind == "cardinality_limit":
             ports[name] = tag_cardinality_limit(
                 df,
