@@ -111,3 +111,35 @@ def test_run_pipeline_resumable_skips_and_records_metrics(spark, tmp_path):
         .collect()
     )
     assert {r.sink: r.n for r in got} == {r.sink: r.n for r in want}
+
+
+def test_incremental_file_source(spark, tmp_path):
+    """File-tail shape: only new files read per pass; a rewritten
+    file (new fingerprint) is re-read; committed files are skipped."""
+    from vector_spark.plans.checkpoint import CheckpointManager
+    from vector_spark.sources.file_tail import incremental_files
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.log").write_text("line-a1\nline-a2\n")
+    (d / "b.log").write_text("line-b1\n")
+    ckpt = CheckpointManager(str(tmp_path / "manifest"))
+
+    df, keys = incremental_files(spark, str(d), ckpt)
+    assert sorted(r.value for r in df.collect()) == [
+        "line-a1", "line-a2", "line-b1"
+    ]
+    for _, k in keys:
+        ckpt.commit(k, {"rows": 1})
+
+    # nothing new -> no frame
+    df2, keys2 = incremental_files(spark, str(d), ckpt)
+    assert df2 is None and keys2 == []
+
+    # a new file and a REWRITTEN file both show up; b.log unchanged
+    (d / "c.log").write_text("line-c1\n")
+    (d / "a.log").write_text("rewritten\n")
+    df3, keys3 = incremental_files(spark, str(d), ckpt)
+    assert sorted(r.value for r in df3.collect()) == ["line-c1", "rewritten"]
+    names = sorted(k.split(":")[0] for _, k in keys3)
+    assert names == ["a.log", "c.log"]
