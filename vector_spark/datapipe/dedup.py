@@ -164,7 +164,12 @@ def cap_buckets(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataF
     small by construction (<= rows/max_bucket keys), so AQE picks a
     broadcast anti-join at runtime; no hint, so an adversarially huge
     key set degrades to a shuffled anti-join (AQE skew-split) instead
-    of a driver OOM."""
+    of a driver OOM.
+
+    NULL-keyed rows never match the anti-join (SQL null semantics) so
+    they are always KEPT here — harmless for every consumer, because
+    each one inner-joins on the same keys next, which drops null-keyed
+    rows identically in engine and oracle."""
     if max_bucket is None:
         return df
     big = (

@@ -43,7 +43,8 @@ def dedupe(
     return (
         df.groupBy(*cols)
         .agg(first)
-        .select(*[F.col(f"__first.{c}").alias(c) for c in df.columns])
+        # getField, not col("__first.c"): survives dotted column names
+        .select(*[F.col("__first").getField(c).alias(c) for c in df.columns])
     )
 
 
