@@ -143,3 +143,23 @@ def test_incremental_file_source(spark, tmp_path):
     assert sorted(r.value for r in df3.collect()) == ["line-c1", "rewritten"]
     names = sorted(k.split(":")[0] for _, k in keys3)
     assert names == ["a.log", "c.log"]
+
+
+def test_incremental_file_source_appends(spark, tmp_path):
+    """An append past the fingerprinted prefix still re-ingests (the
+    size component of the manifest key changes)."""
+    from vector_spark.plans.checkpoint import CheckpointManager
+    from vector_spark.sources.file_tail import incremental_files
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "big.log").write_text("x" * 300 + "\n")
+    ckpt = CheckpointManager(str(tmp_path / "manifest"))
+    _, keys = incremental_files(spark, str(d), ckpt)
+    for _, k in keys:
+        ckpt.commit(k, {})
+    with open(d / "big.log", "a") as fh:
+        fh.write("appended-line\n")
+    df, keys2 = incremental_files(spark, str(d), ckpt)
+    assert df is not None and len(keys2) == 1
+    assert any(r.value == "appended-line" for r in df.collect())

@@ -225,3 +225,10 @@ def test_encode_native_json_roundtrip(spark):
     back = enc.select(decode_native_json(F.col("line")).alias("ev")).first().ev
     assert back.log["msg"] == "hi" and back.log["lvl"] == "info"
     assert back.metric is None
+
+
+def test_encode_native_json_null_input_is_null(spark):
+    from vector_spark.sources.codecs import encode_native_json
+
+    df = spark.createDataFrame([(None,)], "fields map<string,string>")
+    assert df.select(encode_native_json(F.col("fields")).alias("l")).first().l is None

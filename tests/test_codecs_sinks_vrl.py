@@ -196,3 +196,13 @@ def test_iceberg_ddl_and_fallback(spark, tmp_path):
     assert days
     buckets = os.listdir(os.path.join(out, days[0]))
     assert any(b.startswith("p_bucket=") for b in buckets)
+
+
+def test_dedupe_dotted_column_names(spark):
+    """Exact-name resolution: a column literally named 'a.b' must not
+    parse as struct access anywhere in the dedupe plan."""
+    from vector_spark.operators.dedupe import dedupe
+
+    df = spark.createDataFrame([(1, 2, 3), (1, 9, 1)], ["k", "a.b", "v"])
+    out = dedupe(df, match=["k"], order_by=[df.v]).collect()
+    assert len(out) == 1 and out[0]["a.b"] == 9

@@ -387,3 +387,34 @@ def test_pipelines_macro_transform(spark):
     assert rows["b"].stage == "p1"  # went through both
     assert rows["c"].stage == "m0"
     assert rows["d"].stage is None  # unrouted kind, null-filled column
+
+
+def test_pipelines_macro_null_kind_and_empty(spark):
+    """NULL-kind events are 'unrouted' and pass through; a pipelines
+    transform with no pipeline lists is a pure pass-through."""
+    from vector_spark.plans.pipeline import Pipeline
+
+    base = {
+        "sources": {"ev": {"type": "injected"}},
+        "transforms": {
+            "p": {
+                "type": "pipelines",
+                "inputs": ["ev"],
+                "logs": [
+                    {"transforms": [{"type": "filter", "condition": "value > 0"}]}
+                ],
+            }
+        },
+    }
+    df = spark.createDataFrame(
+        [("log", 1, "a"), (None, -5, "b"), ("metric", 2, "c")],
+        "kind string, value long, name string",
+    )
+    out = {r.name for r in Pipeline(base, spark).compile({"ev": df})["p"].collect()}
+    assert out == {"a", "b", "c"}  # null kind survived
+
+    empty = {
+        "sources": {"ev": {"type": "injected"}},
+        "transforms": {"p": {"type": "pipelines", "inputs": ["ev"]}},
+    }
+    assert Pipeline(empty, spark).compile({"ev": df})["p"].count() == 3

@@ -35,15 +35,20 @@ def dedupe(
     if (match is None) == (ignore is None):
         raise ValueError("exactly one of match / ignore must be given")
     cols = match if match is not None else [c for c in df.columns if c not in set(ignore)]
+
+    # backtick-quoted references resolve EXACT names — a column
+    # literally named "a.b" must not parse as struct access
+    def ref(c: str) -> Column:
+        return F.col("`" + c.replace("`", "``") + "`")
+
     if order_by is None:
-        order_by = [F.col(c) for c in df.columns]
+        order_by = [ref(c) for c in df.columns]
     first = F.min_by(
-        F.struct(*[F.col(c) for c in df.columns]), F.struct(*order_by)
+        F.struct(*[ref(c).alias(c) for c in df.columns]), F.struct(*order_by)
     ).alias("__first")
     return (
-        df.groupBy(*cols)
+        df.groupBy(*[ref(c) for c in cols])
         .agg(first)
-        # getField, not col("__first.c"): survives dotted column names
         .select(*[F.col("__first").getField(c).alias(c) for c in df.columns])
     )
 

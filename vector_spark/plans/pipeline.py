@@ -298,7 +298,19 @@ class Pipeline:
                     )
                 outs.append(cur)
             if routed_kinds:
-                outs.append(df.filter(~F.col(kind_col).isin(routed_kinds)))
+                # coalesce: a NULL kind is "unrouted" and passes
+                # through — isin(NULL) is NULL and a bare ~NULL filter
+                # would silently drop the event
+                outs.append(
+                    df.filter(
+                        ~F.coalesce(
+                            F.col(kind_col).isin(routed_kinds), F.lit(False)
+                        )
+                    )
+                )
+            if not outs:  # no pipeline lists at all: pure pass-through
+                ports[name] = df
+                return
             out = outs[0]
             for o in outs[1:]:
                 out = out.unionByName(o, allowMissingColumns=True)

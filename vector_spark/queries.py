@@ -797,7 +797,8 @@ WITH b AS (
               AS BIGINT) % 10000 AS bucket
   FROM documents)
 SELECT doc_id,
-       CASE WHEN bucket < 9800 THEN 'train'
+       CASE WHEN bucket IS NULL THEN NULL
+            WHEN bucket < 9800 THEN 'train'
             WHEN bucket < 9900 THEN 'val'
             ELSE 'test' END AS split
 FROM b

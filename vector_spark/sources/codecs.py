@@ -396,12 +396,16 @@ def encode_native_json(
     native_json.rs): Vector's own event envelope — exactly one of
     {"log": {...}} / {"metric": {...}} per event; round-trips through
     decode_native_json. Null map fields are omitted by to_json, so a
-    log event carries no "metric" key (and vice versa)."""
+    log event carries no "metric" key (and vice versa). A NULL input
+    value encodes to NULL, not to the invalid empty envelope "{}" —
+    the reference deserializer rejects an envelope with no variant."""
     if (log_map is None) == (metric is None):
         raise ValueError("exactly one of log_map/metric required")
-    if log_map is not None:
-        return F.to_json(F.struct(log_map.alias("log")))
-    return F.to_json(F.struct(metric.alias("metric")))
+    payload = log_map if log_map is not None else metric
+    field = "log" if log_map is not None else "metric"
+    return F.when(
+        payload.isNotNull(), F.to_json(F.struct(payload.alias(field)))
+    )
 
 
 def encode_csv(cols: list[str]) -> Column:

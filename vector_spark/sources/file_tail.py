@@ -11,8 +11,9 @@ AFTER its sink write succeeds (same contract as
 plans.checkpoint.run_resumable), so a crash between read and sink
 re-reads the file and the sink write must be idempotent.
 
-A file is keyed by (basename, fingerprint-of-first-N-bytes): an
-appended/rewritten file gets a NEW fingerprint and is re-read in
+A file is keyed by (basename, size, fingerprint-of-first-N-bytes):
+an appended file changes size and a rewritten file changes
+fingerprint, so either way it gets a NEW key and is re-read in
 full — whole-file granularity rather than the reference's byte
 offsets (offset resume inside one file has no batch-Spark analogue;
 the streaming path gets it from Structured Streaming's file source
@@ -56,7 +57,9 @@ def discover_new_files(
             continue
         if ignore_older_secs is not None and now - os.path.getmtime(f) > ignore_older_secs:
             continue
-        key = f"{base}:{file_fingerprint(f)}"
+        # size in the key: an append past the fingerprinted prefix
+        # still produces a new key (the prefix hash alone would not)
+        key = f"{base}:{os.path.getsize(f)}:{file_fingerprint(f)}"
         if not ckpt.is_done(key):
             out.append((f, key))
     return out
