@@ -180,3 +180,25 @@ def test_full_ingest_chain_composition(spark):
     assert counts.get("train", 0) > 0
     # every surviving doc got exactly one split label
     assert final.filter(F.col("split").isNull()).count() == 0
+
+
+def test_simhash_pairs_finds_near_dups(spark):
+    from vector_spark.datapipe.dedup import simhash_near_dup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extraword"),  # tiny perturbation -> small hamming
+            (3, " ".join(f"other{i}" for i in range(60))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dup_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all(3 not in p for p in pairs)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, max_hamming=4)

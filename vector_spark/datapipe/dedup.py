@@ -387,3 +387,63 @@ def decontaminate(
         .agg(F.count_distinct("h").alias("n_hits"))
         .select(F.col("id").alias("doc_id"), "n_hits")
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via band-bucketed Hamming join
+    (Charikar '02 signatures + the Manku/Jain/Sarma WWW'07 rotation
+    trick in band form): the 64-bit signature splits into four 16-bit
+    bands; by pigeonhole any pair within Hamming distance <= 3 agrees
+    EXACTLY on at least one band, so candidates come from equality
+    buckets — one shuffle, never an all-pairs product. Candidates
+    verify with bit_count(xor) <= max_hamming (exact, JVM-side).
+    max_hamming > 3 would need more/wider bands for the pigeonhole
+    guarantee; a ValueError guards the contract. cap_buckets drops
+    degenerate bands (e.g. the all-empty-text zero signature)."""
+    if max_hamming > 3:
+        raise ValueError("4x16 banding guarantees recall only for max_hamming <= 3")
+    sig = simhash64(df, id_col, text_col)
+    bands = (
+        sig.select(
+            "id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("key"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    bands = cap_buckets(bands, ["band", "key"], max_bucket)
+    l = bands.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key"
+    )
+    r = bands.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key"
+    )
+    cand = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
+    )

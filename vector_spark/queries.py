@@ -782,6 +782,49 @@ FROM w LEFT JOIN top USING (doc_id) LEFT JOIN gc USING (doc_id)
 """
 
 
+def q_dp_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.datapipe.dedup import simhash_near_dup_pairs
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# signature CTEs shared with SQL_DP_SIMHASH (same md5 token hashes,
+# same bit-majority vote); bands/verify mirror the engine's 4x16 split
+SQL_DP_SIMHASH_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0),
+th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, unnest(range(64)) AS t(b) GROUP BY 1, 2),
+sig0 AS (
+  SELECT doc_id, sum(CASE WHEN acc > 0
+                          THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
+                          ELSE CAST(0 AS UBIGINT) END) AS u
+  FROM bits GROUP BY 1),
+sig AS (
+  SELECT d.doc_id, coalesce(u, 0) AS u
+  FROM documents d LEFT JOIN sig0 USING (doc_id)),
+bands AS (
+  SELECT doc_id, u, i, (u >> CAST(16*i AS INTEGER)) & 65535 AS key
+  FROM sig, unnest(range(4)) AS t(i)),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, u, i, key,
+           count(*) OVER (PARTITION BY i, key) AS bsz
+    FROM bands) WHERE bsz <= 10000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.u AS ua, b.u AS ub
+  FROM capped a JOIN capped b USING (i, key)
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(ua, ub)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ua, ub)) <= 3
+"""
+
+
 def q_dp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.datapipe.textstats import split_assign
 
@@ -2339,6 +2382,7 @@ QUERIES = {
     "dp_decontaminate": q_dp_decontaminate,
     "dp_split": q_dp_split,
     "dp_top_words": q_dp_top_words,
+    "dp_simhash_pairs": q_dp_simhash_pairs,
     # -- unchecked in r2 (driver 50-query cap); re-evidence first
     "op_agg_salted": q_op_agg_salted,
     "op_aggregate_metrics": q_op_aggregate_metrics,
@@ -2419,6 +2463,7 @@ ORACLES = {
     "dp_decontaminate": SQL_DP_DECONTAMINATE,
     "dp_split": SQL_DP_SPLIT,
     "dp_top_words": SQL_DP_TOP_WORDS,
+    "dp_simhash_pairs": SQL_DP_SIMHASH_PAIRS,
     "pipe_parse_typed": SQL_PIPE_PARSE_TYPED,
     "pipe_dropped": SQL_PIPE_DROPPED,
     "pipe_enrich_tools": SQL_PIPE_ENRICH_TOOLS,
