@@ -95,6 +95,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_ann_ivf",
         "dp_repetition",
         "dp_decontaminate",
+        "dp_simhash_pairs",
     ]
     for name in secondary:
         fn = QUERIES[name]

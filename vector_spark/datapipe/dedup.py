@@ -408,7 +408,15 @@ def simhash_near_dup_pairs(
     degenerate bands (e.g. the all-empty-text zero signature)."""
     if max_hamming > 3:
         raise ValueError("4x16 banding guarantees recall only for max_hamming <= 3")
-    sig = simhash64(df, id_col, text_col)
+    # the repartition plants ONE exchange between the (expensive)
+    # signature UDF and the three consumers below (both self-join
+    # sides + the cap's count); their subplans are identical up to
+    # that exchange, so AQE reuses the materialization across the
+    # join sides instead of re-running the Arrow UDF per branch
+    # (verified in the executed final plan: 2 ArrowEvalPython — the
+    # shuffle subtree + the eagerly-built broadcast cap branch —
+    # down from 6 without the exchange)
+    sig = simhash64(df, id_col, text_col).repartition(F.col("id"))
     bands = (
         sig.select(
             "id",
