@@ -14,7 +14,10 @@ here are declarative DataFrame plans:
                MMDS ch.3)
   n-gram Jaccard  exact pairwise via shingle inverted-index join
                (ground truth / oracle path; quadratic in bucket size)
-  SimHash      64-bit bit-majority signature via one Arrow pandas UDF
+  SimHash      64-bit bit-majority signature via one Arrow pandas UDF;
+               near-dup pairs via 4x16 band-bucketed Hamming join
+               (pigeonhole-complete for distance <= 3)
+  decontaminate  eval-set n-gram overlap flagging (broadcast)
 
 Portability note: the shingle id is the first 15 hex chars of
 md5(shingle) -> int64 — identical in Spark (conv) and DuckDB (hex
