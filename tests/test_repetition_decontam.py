@@ -202,3 +202,15 @@ def test_simhash_pairs_finds_near_dups(spark):
 
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(docs, max_hamming=4)
+
+
+def test_simhash_native_twin_bit_equal(spark):
+    from vector_spark.datapipe.dedup import simhash64, simhash64_native
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, ""), (3, None), (4, "alpha beta")],
+        "doc_id long, text string",
+    )
+    a = {r.id: r.simhash for r in simhash64(df, "doc_id", "text").collect()}
+    b = {r.id: r.simhash for r in simhash64_native(df, "doc_id", "text").collect()}
+    assert a == b

@@ -392,6 +392,57 @@ def decontaminate(
     )
 
 
+def simhash64_native(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """simhash64's JVM-native twin: identical md5-derived bit-majority
+    signature (bit-for-bit equal to the Arrow-UDF form and the DuckDB
+    oracle — asserted in tests), computed relationally: explode
+    tokens, 64 codegen'd SUM expressions of +-1 bit votes, ONE
+    map-side-combinable shuffle on id.
+
+    Measured honestly (sf0.1, 32 cores, warm): ~5.1 s vs the UDF's
+    ~4.0 s — hashlib's C md5 keeps the Arrow form competitive, so the
+    UDF stays the default. This form exists for deployments that must
+    keep Python workers out of the job entirely; both scale the same
+    way (scan-parallel, one combineable shuffle)."""
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(F.col(text_col))).alias("tok"),
+    ).select("id", F.md5("tok").alias("hx"))
+    # the 64-bit token hash as two int64-safe 32-bit halves (the md5
+    # hex prefix is big-endian: chars 1-8 are the HIGH word)
+    toks = toks.select(
+        "id",
+        F.conv(F.substring("hx", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("hx", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+
+    def bit(b: int):
+        if b < 32:
+            return F.shiftrightunsigned(F.col("lo"), b).bitwiseAND(F.lit(1))
+        return F.shiftrightunsigned(F.col("hi"), b - 32).bitwiseAND(F.lit(1))
+
+    votes = [
+        F.sum((bit(b) * 2 - 1).cast("long")).alias(f"a{b}") for b in range(64)
+    ]
+    acc = toks.groupBy("id").agg(*votes)
+    val = None
+    for b in range(64):
+        bit = F.when(F.col(f"a{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+        term = (
+            bit * F.lit(-(2 ** 63)) if b == 63 else bit * F.lit(2 ** b)
+        )  # two's-complement top bit
+        val = term if val is None else val + term
+    sig = acc.select("id", val.cast("long").alias("simhash"))
+    # docs with NO tokens (null/empty text) never reach the explode:
+    # re-attach them with the zero signature, matching the UDF form
+    empty = (
+        df.select(F.col(id_col).alias("id"))
+        .join(sig.select("id"), "id", "left_anti")
+        .withColumn("simhash", F.lit(0).cast("long"))
+    )
+    return sig.unionByName(empty)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
