@@ -125,41 +125,52 @@ def test_incremental_file_source(spark, tmp_path):
     (d / "b.log").write_text("line-b1\n")
     ckpt = CheckpointManager(str(tmp_path / "manifest"))
 
-    df, keys = incremental_files(spark, str(d), ckpt)
+    from vector_spark.sources.file_tail import commit_entries
+
+    df, entries = incremental_files(spark, str(d), ckpt)
     assert sorted(r.value for r in df.collect()) == [
         "line-a1", "line-a2", "line-b1"
     ]
-    for _, k in keys:
-        ckpt.commit(k, {"rows": 1})
+    commit_entries(ckpt, entries, {"rows": 1})
 
     # nothing new -> no frame
-    df2, keys2 = incremental_files(spark, str(d), ckpt)
-    assert df2 is None and keys2 == []
+    df2, entries2 = incremental_files(spark, str(d), ckpt)
+    assert df2 is None and entries2 == []
 
     # a new file and a REWRITTEN file both show up; b.log unchanged
     (d / "c.log").write_text("line-c1\n")
     (d / "a.log").write_text("rewritten\n")
-    df3, keys3 = incremental_files(spark, str(d), ckpt)
+    df3, entries3 = incremental_files(spark, str(d), ckpt)
     assert sorted(r.value for r in df3.collect()) == ["line-c1", "rewritten"]
-    names = sorted(k.split(":")[0] for _, k in keys3)
-    assert names == ["a.log", "c.log"]
+    assert sorted(e.key for e in entries3) == ["a.log", "c.log"]
+    # the rewritten file SUPERSEDED its manifest entry (basename key)
+    commit_entries(ckpt, entries3, {})
+    assert len(ckpt.completed()) == 3
 
 
 def test_incremental_file_source_appends(spark, tmp_path):
-    """An append past the fingerprinted prefix still re-ingests (the
-    size component of the manifest key changes)."""
+    """An append resumes at the committed byte offset (the reference's
+    checkpointer `read_from` contract): ONLY the appended lines are
+    emitted — the previously ingested prefix is NOT re-emitted as
+    duplicates."""
     from vector_spark.plans.checkpoint import CheckpointManager
-    from vector_spark.sources.file_tail import incremental_files
+    from vector_spark.sources.file_tail import commit_entries, incremental_files
 
     d = tmp_path / "in"
     d.mkdir()
     (d / "big.log").write_text("x" * 300 + "\n")
     ckpt = CheckpointManager(str(tmp_path / "manifest"))
-    _, keys = incremental_files(spark, str(d), ckpt)
-    for _, k in keys:
-        ckpt.commit(k, {})
+    _, entries = incremental_files(spark, str(d), ckpt)
+    commit_entries(ckpt, entries)
     with open(d / "big.log", "a") as fh:
-        fh.write("appended-line\n")
-    df, keys2 = incremental_files(spark, str(d), ckpt)
-    assert df is not None and len(keys2) == 1
-    assert any(r.value == "appended-line" for r in df.collect())
+        fh.write("appended-line\nsecond-append\n")
+    df, entries2 = incremental_files(spark, str(d), ckpt)
+    assert df is not None and len(entries2) == 1
+    assert entries2[0].offset == 301
+    assert sorted(r.value for r in df.collect()) == [
+        "appended-line", "second-append"
+    ]
+    # commit supersedes; a third pass sees nothing new
+    commit_entries(ckpt, entries2)
+    df3, entries3 = incremental_files(spark, str(d), ckpt)
+    assert df3 is None and entries3 == []

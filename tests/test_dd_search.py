@@ -180,12 +180,12 @@ def test_parse_shapes():
     assert isinstance(p, RangeN) and p.lower == 1 and p.upper == 2
     p = parse_dd("a:{1 TO 2}")
     assert not p.lower_inc and not p.upper_inc
-    # mixed brackets are valid (grammar.pest line 52: each side of the
-    # range chooses its bracket independently -> gte/lt)
-    p = parse_dd("a:[1 TO 2}")
-    assert isinstance(p, RangeN) and p.lower_inc and not p.upper_inc
-    p = parse_dd("a:{1 TO 2]")
-    assert not p.lower_inc and p.upper_inc
+    # mixed brackets tokenize (grammar.pest) but the reference's semantic
+    # layer (grammar.rs:241-245) panics on (Gte,Lt)/(Gt,Lte) — invalid.
+    with pytest.raises(ValueError, match="mixed range brackets"):
+        parse_dd("a:[1 TO 2}")
+    with pytest.raises(ValueError, match="mixed range brackets"):
+        parse_dd("a:{1 TO 2]")
     # field-scoped subquery
     p = parse_dd("a:(foo OR bar)")
     assert isinstance(p, Bool) and all(n.attr == "a" for n in p.nodes)

@@ -126,10 +126,15 @@ def test_parse_groks_with_aliases_first_match(spark):
 
 
 def test_keyvalue_filter(spark):
-    """The flagship error pattern's keyvalue filter
-    (lib/datadog/grok/src/filters/keyvalue.rs): a named capture with
-    :keyvalue("kv_sep","pair_sep") parses into map<string,string>."""
-    df = spark.createDataFrame([("open() failed, path: /x,errno: 2",)], "line string")
+    """keyvalue filter args follow the reference signature
+    (lib/datadog/grok/src/filters/keyvalue.rs filter_from_function):
+    (kv_delimiter, value allow-list extra chars, quotes, field_delim) —
+    arg 2 extends the `[\\w.\\-_@]` value class, it is NOT a pair
+    separator. With allow-extra ',' the comma-delimited split still
+    applies (default field delims ' ' ',' ';' tried in order), and a
+    value outside the allow-list ('/x') parses as '' -> pair dropped
+    (keyvalue.rs match_re_or_empty)."""
+    df = spark.createDataFrame([("open() failed, code: 2,client: a_b",)], "line string")
     out = df.select(
         grok_extract_typed(
             F.col("line"),
@@ -139,7 +144,88 @@ def test_keyvalue_filter(spark):
         ).alias("g")
     ).select("g.*").collect()[0]
     assert out["error.message"] == "open() failed"
-    assert out["kv"] == {"path": "/x", "errno": "2"}
+    assert out["kv"] == {"code": "2", "client": "a_b"}
+
+
+# (filter kwargs, input, expected map) — the reference's own fixture
+# table, parse_grok.rs:643-760 `parses_keyvalue`
+KV_CASES = [
+    (dict(), "key=valueStr", {"key": "valueStr"}),
+    (dict(), "key=<valueStr>", {"key": "valueStr"}),
+    (dict(), '"key"="valueStr"', {"key": "valueStr"}),
+    (dict(), "'key'='valueStr'", {"key": "valueStr"}),
+    (dict(), "<key>=<valueStr>", {"key": "valueStr"}),
+    (dict(kv_sep=":"), "key:valueStr", {"key": "valueStr"}),
+    (dict(kv_sep=":", allow_extra="/"), 'key:"/valueStr"', {"key": "/valueStr"}),
+    (dict(kv_sep=":", allow_extra="/"), "/key:/valueStr", {"/key": "/valueStr"}),
+    (
+        dict(kv_sep=":=", allow_extra="", quotes=[("{", "}")]),
+        "key:={valueStr}",
+        {"key": "valueStr"},
+    ),
+    (
+        dict(kv_sep="=", field_delims=["|"]),
+        "key1=value1|key2=value2",
+        {"key1": "value1", "key2": "value2"},
+    ),
+    (
+        dict(kv_sep="=", field_delims=["|"]),
+        'key1="value1"|key2="value2"',
+        {"key1": "value1", "key2": "value2"},
+    ),
+    (
+        dict(kv_sep=":=", quotes=[("<", ">")], allow_given=True),
+        'key1:=valueStr key2:=</valueStr2> key3:="valueStr3"',
+        {"key1": "valueStr", "key2": "/valueStr2"},
+    ),
+    (dict(), "key1=value1,key2=value2", {"key1": "value1", "key2": "value2"}),
+    (dict(), "key1=value1;key2=value2", {"key1": "value1", "key2": "value2"}),
+    (dict(), "key:=valueStr", {}),
+    (dict(), "key1= key2=null key3=value3", {"key3": "value3"}),
+]
+
+
+def test_keyvalue_reference_fixtures(spark):
+    """datadog_keyvalue replays the reference's parses_keyvalue table
+    (parse_grok.rs:643-760) bit-for-bit, in ONE projection."""
+    from vector_spark.functions.grok import datadog_keyvalue
+
+    df = spark.createDataFrame([(c[1],) for c in KV_CASES], "line string")
+    cols = [
+        datadog_keyvalue(F.col("line"), **c[0]).alias(f"m{i}")
+        for i, c in enumerate(KV_CASES)
+    ]
+    rows = df.select(*cols).collect()
+    for i, (_, inp, exp) in enumerate(KV_CASES):
+        got = dict(rows[i][f"m{i}"] or {})
+        assert got == exp, f"case {i}: {inp!r} -> {got} expected {exp}"
+
+
+def test_keyvalue_root_destination_surfaced(spark):
+    """%{data::keyvalue(...)} (empty destination): the reference merges
+    the kv map into the event root (parse_grok.rs:65-68); here it
+    surfaces as the reserved `_kvroot` map field instead of being
+    silently dropped — the flagship error pattern uses this form."""
+    df = spark.createDataFrame(
+        [("2023/10/10 13:55:36 [error] open() failed, code: 2,client: a_b",)],
+        "line string",
+    )
+    pat = (
+        r'(?s)%{date("yyyy/MM/dd HH:mm:ss"):date_access} \[%{word:level}\] '
+        r'%{data:error.message}(, %{data::keyvalue(": ",",")})?'
+    )
+    out = (
+        df.select(
+            grok_extract_typed(
+                F.col("line"), pat, engine="pandas", literal_text=False
+            ).alias("g")
+        )
+        .select("g.*")
+        .collect()[0]
+    )
+    assert out["level"] == "error"
+    assert out["error.message"] == "open() failed"
+    assert out["_kvroot"] == {"code": "2", "client": "a_b"}
 
 
 def test_date_matcher_formats():

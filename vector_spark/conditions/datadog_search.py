@@ -258,10 +258,16 @@ def _tokenize(q: str) -> list[_Tok]:
             end = min(x for x in (j, k) if x >= 0) if max(j, k) >= 0 else -1
             if end < 0:
                 raise ValueError(f"unterminated range in datadog query: {q!r}")
-            # mixed brackets are VALID (grammar.pest line 52 allows the
-            # opening and closing bracket independently): '[1 TO 5}'
-            # means gte 1 AND lt 5 — lo_inc/hi_inc are set separately.
+            # grammar.pest tokenizes the brackets independently, but the
+            # reference's SEMANTIC layer (grammar.rs:241-245) panics on any
+            # mixed (Gte,Lt)/(Gt,Lte) combination — '[1 TO 5}' is invalid
+            # upstream, so reject it here for parity.
             hi_inc = q[end] == "]"
+            if lo_inc != hi_inc:
+                raise ValueError(
+                    f"mixed range brackets are invalid (grammar.rs 241-245): "
+                    f"{q[i:end + 1]!r}"
+                )
             inner = q[i + 1 : end]
             parts = _re.split(r"\s+TO\s+", inner.strip())
             if len(parts) != 2:

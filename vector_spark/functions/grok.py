@@ -11,8 +11,10 @@ lib/datadog/grok/) as:
      - `grok_extract_pandas`: ONE Arrow-vectorized pandas UDF pass
        returning map<string,string> (the featured hot path — no
        per-row Python, batches cross to Python once per Arrow batch), or
-     - `grok_extract_native`: a struct of JVM-side regexp_extract
-       calls (whole-stage-codegen friendly; one regex eval per field).
+     - `grok_extract_native`: JVM-side and whole-stage-codegen'd in
+       ONE regex pass (sentinel-joined regexp_replace, then split —
+       not one regexp_extract per field, which re-ran the full
+       composite regex per column).
 
 Only the grok primitives the fixtures need are implemented; adding
 more is a one-line table entry.
@@ -396,9 +398,30 @@ def compile_grok(
                     else f"(?<g{len(fields)}>{sub})"
                 )
                 out.append(group)
+            elif filt:
+                # Root-destination filtered captures (%{data::keyvalue(...)}):
+                # the reference (parse_grok.rs:65-68) merges the filter's
+                # map result into the EVENT ROOT. Spark structs have no
+                # dynamic root, so the result surfaces as a reserved
+                # `_kvroot[N]` field (grok_extract_typed applies the
+                # filter -> map<string,string> callers can flatten);
+                # dropping it silently lost the flagship error pattern's
+                # extracted key-values.
+                n_root = sum(1 for f in fields if f.startswith("_kvroot"))
+                name = "_kvroot" if n_root == 0 else f"_kvroot{n_root + 1}"
+                fields.append(name)
+                filters[name] = filt
+                gname = _sanitize_groups(fields)[-1]
+                sub = matcher_regex(matcher, depth)
+                group = (
+                    f"(?P<{gname}>{sub})"
+                    if flavor == "python"
+                    else f"(?<g{len(fields)}>{sub})"
+                )
+                out.append(group)
             else:
-                # empty-name captures (%{data::keyvalue(...)}) match
-                # without capturing; their filter has no field to bind
+                # empty-name unfiltered captures (%{data}-in-composite)
+                # match without capturing
                 out.append(f"(?:{matcher_regex(matcher, depth)})")
             pos = end
         tail = pat[pos:]
@@ -433,8 +456,149 @@ def grok_filters(pattern: str, aliases: dict[str, str] | None = None) -> dict[st
 _NULLIF_RX = re.compile(r'^nullIf\(\s*"((?:\\.|[^"])*)"\s*\)$')
 _SCALE_RX = re.compile(r"^scale\(\s*([0-9.eE+-]+)\s*\)$")
 _KEYVALUE_RX = re.compile(
-    r'^keyvalue\(\s*"((?:\\.|[^"])*)"\s*(?:,\s*"((?:\\.|[^"])*)"\s*)?\)$'
+    r'^keyvalue\(\s*(?:"((?:\\.|[^"])*)"\s*(?:,\s*"((?:\\.|[^"])*)"\s*'
+    r'(?:,\s*"((?:\\.|[^"])*)"\s*(?:,\s*"((?:\\.|[^"])*)"\s*)?)?)?)?\)$'
 )
+
+_DEFAULT_QUOTES = [('"', '"'), ("'", "'"), ("<", ">")]
+_DEFAULT_FIELD_DELIMS = [" ", ",", ";"]
+
+
+def datadog_keyvalue(
+    col: Column,
+    kv_sep: str = "=",
+    allow_extra: str = "",
+    quotes: list[tuple[str, str]] | None = None,
+    field_delims: list[str] | None = None,
+    allow_given: bool = False,
+) -> Column:
+    """Datadog grok keyvalue filter -> map<string,string>, JVM-side.
+
+    Arg order matches the reference
+    (lib/datadog/grok/src/filters/keyvalue.rs filter_from_function):
+    (key_value_delimiter, value-allow-list extra chars appended to the
+    `[\\w.\\-_@...]` class, quote pair, field delimiter) — arg 2 is NOT
+    a pair separator.
+
+    Semantics replicated from keyvalue.rs parse():
+      * field delimiters are tried IN ORDER (default ' ' ',' ';'); the
+        first whose split yields only fully-parseable tokens wins, else
+        the last is used leniently (reference: last_result);
+      * keys/values may be quoted (default pairs "" '' <>) — quotes are
+        stripped; unquoted keys must fully match the allow-class,
+        unquoted values keep their longest allow-class prefix (the
+        match_re_or_empty rule — a value starting with a disallowed
+        char parses as '' and the pair is dropped);
+      * pairs with blank keys, empty values, or the literal `null` are
+        dropped (apply_filter's post-insert filter + parse_null).
+    Divergence (documented): the reference's nom parser is sequential,
+    so a field delimiter INSIDE an allowed value only splits here; and
+    numbers/booleans stay strings in the map<string,string>.
+    """
+    quotes = quotes or _DEFAULT_QUOTES
+    delims = field_delims or _DEFAULT_FIELD_DELIMS
+    allow_cls = r"[\w.\-_@" + allow_extra + "]"
+    full_rx = f"^{allow_cls}+$"
+    prefix_rx = f"^({allow_cls}*)"
+
+    def quoted(v: Column) -> Column:
+        cond = F.lit(False)
+        for qo, qc in quotes:
+            cond = cond | (
+                (F.length(v) >= 2) & v.startswith(qo) & v.endswith(qc)
+            )
+        return cond
+
+    def unquoted_inner(v: Column) -> Column:
+        return F.substring(v, F.lit(2), F.length(v) - 2)
+
+    def parse_key(raw: Column) -> Column:
+        k = F.trim(raw)
+        return (
+            F.when(quoted(k), unquoted_inner(k))
+            .when(k.rlike(full_rx), k)
+            .otherwise(F.lit(None).cast("string"))
+        )
+
+    def parse_val(raw: Column) -> Column:
+        v = F.trim(raw)
+        return (
+            F.when(quoted(v), unquoted_inner(v))
+            .when(v == "null", F.lit(None).cast("string"))
+            .otherwise(F.regexp_extract(v, prefix_rx, 1))
+        )
+
+    def split_tokens(d: str) -> Column:
+        rx = r"\s+" if d == " " else r"\s*" + re.sub(
+            r"([.^$*+?()\[\]{}|\\])", r"\\\1", d
+        ) + r"\s*"
+        return F.filter(
+            F.split(F.trim(col), rx, -1), lambda t: F.length(t) > 0
+        )
+
+    def token_ok(t: Column) -> Column:
+        # a token parses iff: key=value with a valid key and a value
+        # that is quoted / empty / a full allow-class match, OR a
+        # standalone value (parses to a dropped Null pair upstream)
+        has_kv = F.instr(t, kv_sep) > 0
+        key_raw = F.trim(F.substring_index(t, kv_sep, 1))
+        val_raw = F.trim(F.substr(t, F.instr(t, kv_sep) + len(kv_sep)))
+        key_ok = quoted(key_raw) | key_raw.rlike(full_rx)
+        # match_re_or_empty (keyvalue.rs:326-334): the value regex is
+        # `^[...]*` by default but `^[...]+` when the allow-list arg is
+        # given — with `+`, a value the regex cannot match AT ALL is
+        # skipped to the next delimiter and parses as '' (dropped pair),
+        # while a PARTIAL match leaves unconsumed input and fails the
+        # line; with `*` the empty prefix always matches, so only a
+        # full match (or empty value) parses.
+        val_ok = (
+            quoted(val_raw)
+            | (F.length(val_raw) == 0)
+            | val_raw.rlike(full_rx)
+        )
+        if allow_given:
+            prefix = F.regexp_extract(val_raw, prefix_rx, 1)
+            val_ok = val_ok | (F.length(prefix) == 0)
+        standalone_ok = quoted(F.trim(t)) | F.trim(t).rlike(full_rx)
+        return F.when(has_kv, key_ok & val_ok).otherwise(standalone_ok)
+
+    def entries(toks: Column) -> Column:
+        pairs = F.filter(toks, lambda t: F.instr(t, kv_sep) > 0)
+        ent = F.transform(
+            pairs,
+            lambda p: F.struct(
+                parse_key(F.substring_index(p, kv_sep, 1)).alias("key"),
+                parse_val(
+                    F.substr(p, F.instr(p, kv_sep) + len(kv_sep))
+                ).alias("value"),
+            ),
+        )
+        return F.filter(
+            ent,
+            lambda e: e["key"].isNotNull()
+            & (F.length(F.trim(e["key"])) > 0)
+            & e["value"].isNotNull()
+            & (F.length(e["value"]) > 0),
+        )
+
+    result = entries(split_tokens(delims[-1]))
+    for d in reversed(delims[:-1]):
+        toks = split_tokens(d)
+        result = F.when(F.forall(toks, token_ok), entries(toks)).otherwise(
+            result
+        )
+    # duplicate keys: keep the LAST occurrence (BTreeMap insert order in
+    # apply_filter) — folded left so the default EXCEPTION dedup policy
+    # of map_from_entries can never throw on a dirty line
+    empty = F.create_map().cast("map<string,string>")
+    return F.aggregate(
+        result,
+        empty,
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != e["key"]),
+            F.create_map(e["key"], e["value"]),
+        ),
+    )
 
 
 def apply_grok_filter(col: Column, filt: str) -> Column:
@@ -461,11 +625,28 @@ def apply_grok_filter(col: Column, filt: str) -> Column:
         return col.try_cast("double") * float(m.group(1))
     m = _KEYVALUE_RX.match(filt)
     if m:
-        from vector_spark.functions.parse import parse_key_value
-
-        kv_sep = _unquote(f'"{m.group(1)}"')
-        pair_sep = _unquote(f'"{m.group(2)}"') if m.group(2) is not None else " "
-        return parse_key_value(col, pair_sep=pair_sep, kv_sep=kv_sep)
+        # reference signature (keyvalue.rs filter_from_function):
+        # (key_value_delimiter, value allow-list extra chars, quotes,
+        # field_delimiter) — arg 2 is NOT a pair separator
+        kv_sep = _unquote(f'"{m.group(1)}"') if m.group(1) is not None else "="
+        allow_extra = _unquote(f'"{m.group(2)}"') if m.group(2) is not None else ""
+        quotes = None
+        if m.group(3):
+            q = _unquote(f'"{m.group(3)}"')
+            if len(q) != 2:
+                raise ValueError(f"keyvalue quotes arg must be 2 chars: {q!r}")
+            quotes = [(q[0], q[1])]
+        field_delims = None
+        if m.group(4) is not None:
+            field_delims = [_unquote(f'"{m.group(4)}"')]
+        return datadog_keyvalue(
+            col,
+            kv_sep=kv_sep,
+            allow_extra=allow_extra,
+            quotes=quotes,
+            field_delims=field_delims,
+            allow_given=m.group(2) is not None,
+        )
     raise ValueError(f"unsupported grok filter {filt!r}")
 
 

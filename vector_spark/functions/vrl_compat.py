@@ -111,7 +111,12 @@ def encode_percent(col: Column) -> Column:
 
 
 def decode_percent(col: Column) -> Column:
-    return F.url_decode(col)
+    """decode_percent.rs: fallible in VRL — malformed percent-encoding
+    errors the expression, and the event goes to the error channel.
+    `F.url_decode` under ANSI mode instead THROWS (CANNOT_DECODE_URL),
+    killing the whole job on one dirty value; `try_url_decode` -> NULL
+    is the Spark-side analogue of the fallible error."""
+    return F.try_url_decode(col)
 
 
 # --- type conversion ---------------------------------------------------------

@@ -286,12 +286,23 @@ def stream_tag_cardinality_limit(
         # sorting per chunk would make the accept set depend on chunk
         # boundaries; concat first, sort once
         chunks = [pdf for pdf in pdf_iter]
+        # kind='stable' (mergesort): the default quicksort reorders
+        # ts-ties across runs, making the 'first seen' accept set
+        # nondeterministic; a tag-value tiebreaker pins tie order to
+        # content, not arrival chunking
         batch = (
-            pd.concat(chunks).sort_values(ts_col) if chunks else pd.DataFrame()
+            pd.concat(chunks).sort_values(
+                [ts_col, tag_col], kind="stable", na_position="last"
+            )
+            if chunks
+            else pd.DataFrame()
         )
         if len(batch):
-            for r in batch.itertuples(index=False):
-                d = {c: getattr(r, c) for c in cols if c != "__tag_group"}
+            # to_dict('records') instead of itertuples: tuple-attr
+            # access breaks for column names that are not valid
+            # Python identifiers
+            for d in batch.to_dict("records"):
+                d.pop("__tag_group", None)
                 v = d.get(tag_col)
                 if v is None or v in seen:
                     rows.append(d)
