@@ -96,6 +96,8 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_repetition",
         "dp_decontaminate",
         "dp_simhash_pairs",
+        # round 4 additions
+        "op_line_agg_modes",
     ]
     for name in secondary:
         fn = QUERIES[name]

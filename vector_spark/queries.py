@@ -547,6 +547,61 @@ FROM x GROUP BY 1, 2
 """
 
 
+def q_op_line_agg_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full line_agg Mode enum (src/line_agg.rs:24-48), halt_with —
+    the trickiest decision table (s&c lines TOGGLE the buffer bit).
+    Over events per user: start = signup|click opens a buffer,
+    condition = error|click ends it inclusively; 'click' matches both
+    (toggle), 'view'/'purchase' are keep-steps. The oracle replays the
+    reference's sequential handle_line automaton literally with a
+    recursive CTE — an independent derivation from the window math."""
+    from vector_spark.operators.line_agg import line_agg_modes
+
+    ev = _tbl(spark, sf_dir, "events")
+    out = line_agg_modes(
+        ev,
+        stream_cols=["user_id"],
+        order_by=[F.col("event_id")],
+        line_col="event_type",
+        start_pattern="^(signup|click)",
+        condition_pattern="(error|click)$",
+        mode="halt_with",
+        sep=" ",
+    )
+    return out.select(
+        "user_id",
+        F.col("segment").cast("bigint").alias("segment"),
+        "message",
+        F.col("line_count").cast("bigint").alias("line_count"),
+    )
+
+
+SQL_OP_LINE_AGG_MODES = """
+WITH RECURSIVE lines AS (
+  SELECT user_id, event_type AS line,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         regexp_matches(event_type, '^(signup|click)') AS s,
+         regexp_matches(event_type, '(error|click)$') AS c
+  FROM events
+),
+-- the literal halt_with automaton (line_agg.rs handle_line): occupied
+-- buffer always absorbs the line; condition-match closes it inclusive;
+-- a vacant buffer opens iff the start pattern matches
+step AS (
+  SELECT user_id, rn, line, 1 AS seg, s AS after FROM lines WHERE rn = 1
+  UNION ALL
+  SELECT l.user_id, l.rn, l.line,
+         CASE WHEN p.after THEN p.seg ELSE p.seg + 1 END,
+         CASE WHEN p.after THEN NOT l.c ELSE l.s END
+  FROM lines l JOIN step p ON l.user_id = p.user_id AND l.rn = p.rn + 1
+)
+SELECT user_id, CAST(seg AS BIGINT) AS segment,
+       string_agg(line, ' ' ORDER BY rn) AS message,
+       CAST(count(*) AS BIGINT) AS line_count
+FROM step GROUP BY 1, 2
+"""
+
+
 def q_op_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _tbl(spark, sf_dir, "events")
     dim = spark.createDataFrame(
@@ -2372,68 +2427,21 @@ SELECT '_unmatched', CAST(0 AS BIGINT)
 # stable remainder; the >50 tail holds only queries untouched this
 # round whose green evidence is freshest (previous round's gate).
 QUERIES = {
-    # -- new this round (r3): codecs + grok aliases + event kinds
-    "op_decode_avro": q_op_decode_avro,
-    "op_decode_native_proto": q_op_decode_native_proto,
+    # -- new this round (r4)
+    "op_line_agg_modes": q_op_line_agg_modes,
+    # -- plan changed in r4 (grok keyvalue signature + root-map merge,
+    # dd-search mixed-bracket rejection, vrl decode_percent fallible)
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
-    "op_route_kind": q_op_route_kind,
-    "dp_ann_ivf": q_dp_ann_ivf,
-    "dp_repetition": q_dp_repetition,
-    "dp_decontaminate": q_dp_decontaminate,
-    "dp_split": q_dp_split,
-    "dp_top_words": q_dp_top_words,
-    "dp_simhash_pairs": q_dp_simhash_pairs,
-    # -- unchecked in r2 (driver 50-query cap); re-evidence first
-    "op_agg_salted": q_op_agg_salted,
-    "op_aggregate_metrics": q_op_aggregate_metrics,
-    "op_vrl_strings": q_op_vrl_strings,
-    "dp_fingerprint": q_dp_fingerprint,
-    "dp_bpe_tokens": q_dp_bpe_tokens,
-    "dp_simhash": q_dp_simhash,
-    "dp_clean_corpus": q_dp_clean_corpus,
-    "mm_features_checked": q_mm_features_checked,
-    "mm_features": q_mm_features,  # rows-only
-    # -- plan or oracle changed in r3 (cardinality top-N, bucket caps)
-    "op_cardinality": q_op_cardinality,
-    "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
-    "dp_cosine_near_dup_bucketed": q_dp_cosine_near_dup_bucketed,
-    "dp_ann_bucketed": q_dp_ann_bucketed,
-    "dp_ann_multiprobe": q_dp_ann_multiprobe,
-    # -- grok compiler internals changed in r3; its consumers re-gate
     "pipe_parse_typed": q_pipe_parse_typed,
     "op_parse_combined": q_op_parse_combined,
     "op_parse_syslog": q_op_parse_syslog,
     "op_parse_access_log": q_op_parse_access_log,
-    # -- flagship pipeline
-    "pipe_dropped": q_pipe_dropped,
-    "pipe_enrich_tools": q_pipe_enrich_tools,
-    "pipe_route_errors": _route_keys("errors"),
-    "pipe_route_tool_calls": _route_keys("tool_calls"),
-    "pipe_route_slow": _route_keys("slow"),
-    "pipe_route_unmatched": _route_keys("_unmatched"),
-    "pipe_agg_errors": q_pipe_agg_errors,
-    "pipe_agg_all": q_pipe_agg_all,
-    # -- metric value types (distribution_stats guard landed in r3)
-    "op_agg_histogram": q_op_agg_histogram,
-    "op_log_to_metric_histogram": q_op_log_to_metric_histogram,
-    "op_agg_set": q_op_agg_set,
-    "op_log_to_metric": q_op_log_to_metric,
-    # -- stable operator coverage
-    "op_agg_hourly": q_op_agg_hourly,
-    "op_route_events": q_op_route_events,
     "op_route_ddsearch": q_op_route_ddsearch,
-    "op_decode_gelf": q_op_decode_gelf,
-    "op_decode_statsd": q_op_decode_statsd,
-    "op_decode_prometheus": q_op_decode_prometheus,
-    "op_sample_counter": q_op_sample_counter,
-    "op_reduce_sessions": q_op_reduce_sessions,
-    # -- training-data pipeline (shingle internals changed in r3, so
-    # the minhash/jaccard consumers outrank the untouched text stats)
-    "op_dedupe": q_op_dedupe,  # min_by rework in r3 -> needs driver evidence
-    "dp_minhash_sig": q_dp_minhash_sig,
+    "op_vrl_strings": q_op_vrl_strings,
+    # -- evidence rotation: last driver check r1/r2 (the 19-entry tail
+    # of the r3 registry); no entry may go 3 rounds without a row
     "dp_jaccard_pairs": q_dp_jaccard_pairs,
     "dp_cosine_topk": q_dp_cosine_topk,
-    # ---- >50 tail: untouched in r3, all green in CORRECTNESS_r02 ----
     "dp_exact_dedup": q_dp_exact_dedup,
     "dp_token_count": q_dp_token_count,
     "dp_quality": q_dp_quality,
@@ -2451,6 +2459,52 @@ QUERIES = {
     "op_line_agg": q_op_line_agg,
     "tpch_q1": q_tpch_q1,
     "orders_by_segment": q_orders_by_segment,
+    # -- flagship pipeline (headline path: keep under the gate)
+    "pipe_dropped": q_pipe_dropped,
+    "pipe_enrich_tools": q_pipe_enrich_tools,
+    "pipe_route_errors": _route_keys("errors"),
+    "pipe_route_tool_calls": _route_keys("tool_calls"),
+    "pipe_route_slow": _route_keys("slow"),
+    "pipe_route_unmatched": _route_keys("_unmatched"),
+    "pipe_agg_errors": q_pipe_agg_errors,
+    "pipe_agg_all": q_pipe_agg_all,
+    # -- r3-checked stable entries filling the remaining window slots
+    "op_dedupe": q_op_dedupe,
+    "op_cardinality": q_op_cardinality,
+    "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
+    "dp_simhash": q_dp_simhash,
+    "dp_simhash_pairs": q_dp_simhash_pairs,
+    "dp_cosine_near_dup_bucketed": q_dp_cosine_near_dup_bucketed,
+    "dp_ann_bucketed": q_dp_ann_bucketed,
+    "dp_ann_ivf": q_dp_ann_ivf,
+    "op_decode_avro": q_op_decode_avro,
+    "op_decode_native_proto": q_op_decode_native_proto,
+    "op_route_kind": q_op_route_kind,
+    "op_agg_salted": q_op_agg_salted,
+    "mm_features_checked": q_mm_features_checked,
+    "mm_features": q_mm_features,  # rows-only
+    # ---- >50 tail: untouched in r4, all green in CORRECTNESS_r03 ----
+    "dp_ann_multiprobe": q_dp_ann_multiprobe,
+    "dp_repetition": q_dp_repetition,
+    "dp_decontaminate": q_dp_decontaminate,
+    "dp_split": q_dp_split,
+    "dp_top_words": q_dp_top_words,
+    "dp_minhash_sig": q_dp_minhash_sig,
+    "dp_fingerprint": q_dp_fingerprint,
+    "dp_bpe_tokens": q_dp_bpe_tokens,
+    "dp_clean_corpus": q_dp_clean_corpus,
+    "op_aggregate_metrics": q_op_aggregate_metrics,
+    "op_agg_histogram": q_op_agg_histogram,
+    "op_log_to_metric_histogram": q_op_log_to_metric_histogram,
+    "op_agg_set": q_op_agg_set,
+    "op_log_to_metric": q_op_log_to_metric,
+    "op_agg_hourly": q_op_agg_hourly,
+    "op_route_events": q_op_route_events,
+    "op_decode_gelf": q_op_decode_gelf,
+    "op_decode_statsd": q_op_decode_statsd,
+    "op_decode_prometheus": q_op_decode_prometheus,
+    "op_sample_counter": q_op_sample_counter,
+    "op_reduce_sessions": q_op_reduce_sessions,
 }
 
 ORACLES = {
@@ -2492,6 +2546,7 @@ ORACLES = {
     "op_enrich_cidr": SQL_OP_ENRICH_CIDR,
     "op_cardinality": SQL_OP_CARDINALITY,
     "op_line_agg": SQL_OP_LINE_AGG,
+    "op_line_agg_modes": SQL_OP_LINE_AGG_MODES,
     "op_enrich_dim": SQL_OP_ENRICH_DIM,
     "op_log_to_metric": SQL_OP_LOG_TO_METRIC,
     "tpch_q1": SQL_TPCH_Q1,
