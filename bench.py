@@ -98,6 +98,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_simhash_pairs",
         # round 4 additions
         "op_line_agg_modes",
+        "op_agg_sketch",
     ]
     for name in secondary:
         fn = QUERIES[name]

@@ -77,7 +77,15 @@ def test_distribution_merge_and_stats(spark):
     assert stats["count"] == 3  # rate-weighted: 1x1 + 3x2
     assert stats["sum"] == 7.0
     assert stats["min"] == 1.0 and stats["max"] == 3.0
-    assert stats["q50"] == 3.0  # weighted median of [1,3,3]
+    # weighted median of [1,3,3] under the DDSketch relative-error
+    # contract ((gamma-1)/2); the percentile_approx method stays exact
+    assert abs(stats["q50"] - 3.0) <= 3.0 * 2 * (1.0 / 128.0)
+    exact = distribution_stats(
+        merged.filter(F.col("statistic") == "histogram"),
+        quantiles=[0.5],
+        method="percentile_approx",
+    ).collect()[0]
+    assert exact["q50"] == 3.0
 
 
 def test_distribution_zero_rate_sample_dropped(spark):

@@ -13,8 +13,10 @@ enum (:15-82) and its `add` merge rules (:206-300):
   AggregatedSummary  does NOT merge (falls through to `_ => false`);
                      aggregation keeps the last write
   Sketch             DDSketch merge -> quantile queries with bounded
-                     error; the Spark analogue is percentile_approx
-                     (Greenwald-Khanna, bounded-error, mergeable)
+                     RELATIVE error; implemented for real by the
+                     mergeable AgentDDSketch expressions in
+                     operators/ddsketch.py (percentile_approx remains
+                     as an opt-in rank-error alternative)
 
 Spark shapes (all map-side combinable, one logical shuffle per merge):
   samples:  array<struct<value:double, rate:bigint>>
@@ -158,15 +160,50 @@ def distribution_stats(
     df: DataFrame,
     samples_col: str = "samples",
     quantiles: list[float] | None = None,
+    method: str = "ddsketch",
 ) -> DataFrame:
     """Derive the sink-side statistics from merged distributions
     (StatisticKind::Summary rendering in the reference's sinks:
-    min/max/avg/sum/count + quantiles). Scalar stats stay in
-    higher-order functions (no explode); quantiles use
-    percentile_approx over the exploded rate-weighted samples — the
-    mergeable bounded-error analogue of the reference's DDSketch."""
+    min/max/avg/sum/count + quantiles).
+
+    method="ddsketch" (default): the reference's actual Sketch path —
+    distribution samples are inserted into an AgentDDSketch
+    (value.rs:140-193 Sketch{AgentDDSketch}) and quantiles carry its
+    relative-error contract ((gamma-1)/2 ~ 0.78%). Implemented by the
+    mergeable native-expression sketch in operators/ddsketch.py.
+
+    method="percentile_approx": the Greenwald-Khanna analogue kept
+    from earlier rounds (rank-error rather than relative-error
+    bounds)."""
     quantiles = quantiles or [0.5, 0.95, 0.99]
+    if method not in ("ddsketch", "percentile_approx"):
+        raise ValueError(f"unknown quantile method: {method!r}")
     s = F.col(samples_col)
+
+    if method == "ddsketch":
+        from vector_spark.operators.ddsketch import (
+            sketch_agg,
+            sketch_quantile,
+        )
+
+        orig = [c for c in df.columns if c != samples_col]
+        samples = df.select(*orig, F.explode(s).alias("__sm")).select(
+            *orig,
+            F.col("__sm.value").alias("__v"),
+            F.col("__sm.rate").alias("__r"),
+        )
+        # rate feeds the sketch as observation multiplicity
+        # (insert_n): no per-rate row expansion, so a rate-10^9
+        # sample costs one row, and count/min/max/sum/avg fall out
+        # of the sketch itself (rate < 1 contributes nothing, the
+        # same exclusion the expansion path applies)
+        sk = sketch_agg(samples, orig, "__v", weight_col="__r")
+        qcols = [
+            sketch_quantile(q).alias(f"q{int(q * 100)}") for q in quantiles
+        ]
+        return sk.select(
+            *orig, "count", "sum", "min", "max", "avg", *qcols
+        )
     # min/max must see only samples that actually occur (rate >= 1) —
     # otherwise max could exceed q100 for the same distribution
     vals = F.transform(
@@ -200,8 +237,26 @@ def distribution_stats(
             )
         ).alias("__v"),
     )
+    if method == "percentile_approx":
+        qcols = [
+            F.percentile_approx(F.col("__v"), q, F.lit(10_000)).alias(
+                f"q{int(q * 100)}"
+            )
+            for q in quantiles
+        ]
+        return weighted.groupBy(*other).agg(*qcols)
+
+    from vector_spark.operators.ddsketch import (
+        SKETCH_COLS,
+        sketch_agg,
+        sketch_quantile,
+    )
+
+    # the sketch's own count/min/max/sum re-derive the base stats from
+    # the weighted rows; group by the precomputed base columns (they
+    # are constant per group) and keep them, dropping the sketch's
+    sk = sketch_agg(weighted, other, "__v")
     qcols = [
-        F.percentile_approx(F.col("__v"), q, F.lit(10_000)).alias(f"q{int(q * 100)}")
-        for q in quantiles
+        sketch_quantile(q).alias(f"q{int(q * 100)}") for q in quantiles
     ]
-    return weighted.groupBy(*other).agg(*qcols)
+    return sk.select(*other, *qcols)

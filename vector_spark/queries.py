@@ -602,6 +602,95 @@ FROM step GROUP BY 1, 2
 """
 
 
+def q_op_agg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AgentDDSketch metric value (value.rs:140-193, ddsketch.rs):
+    per-event_type sketch over `value` — exploded bins (key, count)
+    plus count/min/max/sum and the sketch's own q50/q95. The oracle
+    recomputes the identical bin math in DuckDB (ln + round_even are
+    bit-compatible with the JVM, verified over all SFs) and replays
+    the quantile walk with window functions."""
+    from vector_spark.operators.ddsketch import sketch_agg, sketch_quantile
+
+    ev = _tbl(spark, sf_dir, "events")
+    sk = sketch_agg(ev, ["event_type"], "value")
+    return sk.select(
+        "event_type",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("vmin"),
+        F.round("max", 6).alias("vmax"),
+        F.round("sum", 2).alias("vsum"),
+        F.round(sketch_quantile(0.5), 6).alias("q50"),
+        F.round(sketch_quantile(0.95), 6).alias("q95"),
+        F.explode(
+            F.arrays_zip(F.col("keys").alias("k"), F.col("counts").alias("n"))
+        ).alias("__b"),
+    ).select(
+        "event_type", "cnt", "vmin", "vmax", "vsum", "q50", "q95",
+        F.col("__b.k").cast("int").alias("k"),
+        F.col("__b.n").cast("bigint").alias("n"),
+    )
+
+
+def _sketch_oracle_sql() -> str:
+    from vector_spark.operators.ddsketch import (
+        GAMMA,
+        GAMMA_LN,
+        NORM_BIAS,
+        NORM_MIN,
+    )
+
+    lower = (
+        f"(CASE WHEN {{k}} = 0 THEN 0.0 WHEN {{k}} < 0 THEN "
+        f"-power({GAMMA!r}, CAST(-{{k}} - {NORM_BIAS} AS DOUBLE)) "
+        f"ELSE power({GAMMA!r}, CAST({{k}} - {NORM_BIAS} AS DOUBLE)) END)"
+    )
+
+    def est(q: float) -> str:
+        rank = f"round_even({q!r} * CAST(s.cnt - 1 AS DOUBLE), 0)"
+        hit = f"""
+  SELECT w.g, w.k, w.n, w.rs, w.ri, s.cnt, s.mn, s.mx
+  FROM walk w JOIN stats s ON w.g = s.g
+  WHERE CAST(w.rs AS DOUBLE) > {rank}
+  QUALIFY row_number() OVER (PARTITION BY w.g ORDER BY w.k) = 1"""
+        vlr = lower.format(k="h.k")
+        wt = f"(CAST(h.rs AS DOUBLE) - round_even({q!r} * CAST(h.cnt - 1 AS DOUBLE), 0)) / CAST(h.n AS DOUBLE)"
+        vlow = f"(CASE WHEN h.ri = 1 THEN h.mn ELSE {vlr} END)"
+        return (
+            f"SELECT h.g, round(least(greatest({vlow} * {wt} + ({vlr} * {GAMMA!r}) * (1.0 - {wt}), h.mn), h.mx), 6) AS qv"
+            f" FROM ({hit}) h"
+        )
+
+    key = (
+        f"CASE WHEN abs(value) < {NORM_MIN!r} THEN 0 "
+        f"ELSE CAST(CASE WHEN value < 0 THEN -1 ELSE 1 END * "
+        f"least(greatest(CAST(round_even(ln(abs(value)) / {GAMMA_LN!r}, 0) AS INT) + {NORM_BIAS}, 1), 32767) AS INT) END"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v, {key} AS k
+  FROM events WHERE value IS NOT NULL),
+bins AS (SELECT g, k, CAST(count(*) AS BIGINT) AS n FROM keyed GROUP BY 1, 2),
+stats AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt, min(v) AS mn, max(v) AS mx,
+                 sum(v) AS sm FROM keyed GROUP BY 1),
+walk AS (
+  SELECT g, k, n,
+         sum(n) OVER (PARTITION BY g ORDER BY k) AS rs,
+         row_number() OVER (PARTITION BY g ORDER BY k) AS ri
+  FROM bins),
+q50 AS ({est(0.5)}),
+q95 AS ({est(0.95)})
+SELECT b.g AS event_type, s.cnt, round(s.mn, 6) AS vmin, round(s.mx, 6) AS vmax,
+       round(s.sm, 2) AS vsum, q50.qv AS q50, q95.qv AS q95, b.k, b.n
+FROM bins b
+JOIN stats s ON b.g = s.g
+JOIN q50 ON b.g = q50.g
+JOIN q95 ON b.g = q95.g
+"""
+
+
+SQL_OP_AGG_SKETCH = _sketch_oracle_sql()
+
+
 def q_op_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _tbl(spark, sf_dir, "events")
     dim = spark.createDataFrame(
@@ -2429,6 +2518,7 @@ SELECT '_unmatched', CAST(0 AS BIGINT)
 QUERIES = {
     # -- new this round (r4)
     "op_line_agg_modes": q_op_line_agg_modes,
+    "op_agg_sketch": q_op_agg_sketch,
     # -- plan changed in r4 (grok keyvalue signature + root-map merge,
     # dd-search mixed-bracket rejection, vrl decode_percent fallible)
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
@@ -2547,6 +2637,7 @@ ORACLES = {
     "op_cardinality": SQL_OP_CARDINALITY,
     "op_line_agg": SQL_OP_LINE_AGG,
     "op_line_agg_modes": SQL_OP_LINE_AGG_MODES,
+    "op_agg_sketch": SQL_OP_AGG_SKETCH,
     "op_enrich_dim": SQL_OP_ENRICH_DIM,
     "op_log_to_metric": SQL_OP_LOG_TO_METRIC,
     "tpch_q1": SQL_TPCH_Q1,
