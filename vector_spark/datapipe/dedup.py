@@ -328,28 +328,36 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def sh(texts):  # pd.Series -> pd.Series (hints omitted: postponed
         # annotation strings aren't resolvable with local imports)
         out = np.zeros(len(texts), dtype=np.int64)
+        tok_lists = [
+            [] if txt is None else str(txt).split() for txt in texts
+        ]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(out)
+        flat = np.array(
+            [tok for toks in tok_lists for tok in toks], dtype=object
+        )
+        # md5 ONLY the batch-unique tokens (natural text repeats
+        # heavily), then vectorize everything after the digest:
+        # bit matrix, +-1 votes, per-doc segment sums
+        uniq, inv = np.unique(flat, return_inverse=True)
+        h = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in uniq
+            ],
+            dtype=np.uint64,
+        )
         shifts = np.arange(64, dtype=np.uint64)
-        one = np.uint64(1)
-        for i, txt in enumerate(texts):
-            if txt is None:
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in str(txt).split():
-                # uint64 throughout: the top md5 bit is set for half of
-                # all tokens and a python-int >> numpy coercion would
-                # overflow int64
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                )
-                bits = (h >> shifts) & one
-                acc += np.where(bits.astype(bool), 1, -1)
-            val = 0
-            for b in range(64):
-                if acc[b] > 0:
-                    val |= 1 << b
-            if val >= 1 << 63:  # two's-complement wrap into BIGINT
-                val -= 1 << 64
-            out[i] = val
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = 2 * bits - 1  # (U, 64)
+        token_votes = votes[inv]  # (T, 64), in doc order
+        nonempty = np.flatnonzero(lens)
+        starts = np.concatenate(([0], np.cumsum(lens)))[nonempty]
+        acc = np.add.reduceat(token_votes, starts, axis=0)  # (D', 64)
+        sig = (acc > 0).astype(np.uint64)
+        vals = (sig << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        out[nonempty] = vals.astype(np.int64)  # two's-complement wrap
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
