@@ -108,6 +108,100 @@ def test_stream_pipeline_matches_batch_fused(spark, stream_source, tmp_path):
     assert got.equals(batch)
 
 
+def test_stream_kill_restart_exactly_once(spark, tmp_path):
+    """Ack-then-commit, streaming side: a query killed mid-stream
+    (stop() between microbatches, maxFilesPerTrigger=1) and restarted
+    from the same checkpointLocation over a file sink must produce the
+    windowed aggregates exactly once — no window dropped, none
+    duplicated — equal to the batch aggregation over the full input.
+    A far-future sentinel row pushes the watermark past every real
+    window so append mode flushes them before the final stop."""
+    import time
+
+    src = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    sink = tmp_path / "out"
+    src.mkdir()
+
+    def write_chunk(ids):
+        pdf = gen_transcripts_pdf(np.array(ids))
+        spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    for ids in ([0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]):
+        write_chunk(ids)
+
+    def start(trigger_kwargs):
+        sdf = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src))
+        # watermark wider than the whole real-data span: files list
+        # in arbitrary order under maxFilesPerTrigger, and a late file
+        # must not be DISCARDED as late data — this test is about
+        # restart exactly-once, not late-row policy
+        agg = stream_aggregate(
+            sdf, "10 minutes", ["role"], {"events": F.count(F.lit(1))},
+            watermark="6 hours",
+        )
+        return (
+            agg.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # phase 1: run a few one-file microbatches, then KILL mid-stream
+    q1 = start({"processingTime": "0 seconds"})
+    deadline = time.time() + 60
+    while time.time() < deadline and len(q1.recentProgress) < 2:
+        time.sleep(0.5)
+    assert len(q1.recentProgress) >= 2, "stream never progressed"
+    q1.stop()
+    q1.awaitTermination(60)
+
+    # phase 2: more input + a sentinel a day past the real data so
+    # the 6 h watermark flushes every real window
+    write_chunk([12, 13, 14])
+    pdf = gen_transcripts_pdf(np.array([0])).head(1).copy()
+    pdf["ts"] = pdf["ts"] + np.timedelta64(24, "h")
+    pdf["role"] = "sentinel"
+    spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(120)
+
+    got = (
+        spark.read.schema(
+            "window_start timestamp, role string, events bigint"
+        )
+        .parquet(str(sink))
+        .filter(F.col("role") != "sentinel")
+        .toPandas()
+    )
+    batch = (
+        spark.read.parquet(str(src))
+        .filter(F.col("role") != "sentinel")
+        .groupBy(F.window("ts", "10 minutes"), "role")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(F.col("window.start").alias("window_start"), "role", "events")
+        .toPandas()
+    )
+    key = ["window_start", "role"]
+    # exactly once: key-unique in the sink AND equal to batch
+    assert not got.duplicated(subset=key).any(), "duplicated window after restart"
+    for f in (got, batch):
+        f["window_start"] = f["window_start"].astype("datetime64[us]")
+        f["events"] = f["events"].astype("int64")
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)[list(got.columns)]
+    assert got.equals(batch)
+
+
 def test_stream_tag_cardinality_matches_batch(spark, tmp_path):
     """Streaming accept-set == batch operator on the same bounded
     input (unique ts per row makes 'first seen' unambiguous)."""

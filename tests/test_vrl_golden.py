@@ -182,6 +182,10 @@ CASES = [
     ("encode_percent", lambda: _fn("encode_percent")(L("foo bar?")), "foo%20bar%3F"),
     ("encode_percent_at", lambda: _fn("encode_percent")(L("foo@bar?")), "foo%40bar%3F"),
     ("decode_percent", lambda: _fn("decode_percent")(L("foo%20bar%3F")), "foo bar?"),
+    # decode_percent.rs fallibility: malformed encoding ('100%') is an
+    # expression-level error in VRL (event -> error channel), NULL
+    # here — and must NOT abort the job (ANSI CANNOT_DECODE_URL trap)
+    ("decode_percent_malformed", lambda: _fn("decode_percent")(L("100%")), None),
     # ceil.rs / floor.rs / round.rs / mod.rs
     ("ceil", lambda: _fn("ceil")(L(5.2)), 6),
     ("floor", lambda: _fn("floor")(L(9.8)), 9),

@@ -1648,8 +1648,9 @@ def q_op_log_to_metric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """log_to_metric Histogram spec (log_to_metric.rs:287-302) ->
     single-sample Distribution per event -> distribution merge
     (value.rs:217-228) per day -> sink-side scalar stats. Quantiles
-    (percentile_approx, the sketch analogue) are pytest-covered; the
-    oracle checks the exactly-reproducible stats."""
+    (the AgentDDSketch path, operators/ddsketch.py) are pytest-covered
+    and oracled bin-exactly by op_agg_sketch; this oracle checks the
+    exactly-reproducible scalar stats."""
     from vector_spark.operators.log_to_metric import MetricSpec, log_to_metric
     from vector_spark.operators.metric_value import merge_distributions
 
