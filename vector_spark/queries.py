@@ -631,6 +631,41 @@ def q_op_agg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_op_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RE-AGGREGATION (AgentDDSketch::merge, ddsketch.rs:719):
+    per-(event_type, day) sketches merged down to per-event_type must
+    equal the sketch built in one shot — so this query shares
+    op_agg_sketch's oracle verbatim, the same pattern op_agg_salted
+    uses against the plain aggregation."""
+    from vector_spark.operators.ddsketch import (
+        sketch_agg,
+        sketch_merge,
+        sketch_quantile,
+    )
+
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    daily = sketch_agg(ev, ["event_type", "day"], "value")
+    sk = sketch_merge(daily.drop("day"), ["event_type"])
+    return sk.select(
+        "event_type",
+        F.col("count").alias("cnt"),
+        F.round("min", 6).alias("vmin"),
+        F.round("max", 6).alias("vmax"),
+        F.round("sum", 2).alias("vsum"),
+        F.round(sketch_quantile(0.5), 6).alias("q50"),
+        F.round(sketch_quantile(0.95), 6).alias("q95"),
+        F.explode(
+            F.arrays_zip(F.col("keys").alias("k"), F.col("counts").alias("n"))
+        ).alias("__b"),
+    ).select(
+        "event_type", "cnt", "vmin", "vmax", "vsum", "q50", "q95",
+        F.col("__b.k").cast("int").alias("k"),
+        F.col("__b.n").cast("bigint").alias("n"),
+    )
+
+
 def _sketch_oracle_sql() -> str:
     from vector_spark.operators.ddsketch import (
         GAMMA,
@@ -2520,6 +2555,7 @@ QUERIES = {
     # -- new this round (r4)
     "op_line_agg_modes": q_op_line_agg_modes,
     "op_agg_sketch": q_op_agg_sketch,
+    "op_agg_sketch_merge": q_op_agg_sketch_merge,
     # -- plan changed in r4 (grok keyvalue signature + root-map merge,
     # dd-search mixed-bracket rejection, vrl decode_percent fallible)
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
@@ -2639,6 +2675,9 @@ ORACLES = {
     "op_line_agg": SQL_OP_LINE_AGG,
     "op_line_agg_modes": SQL_OP_LINE_AGG_MODES,
     "op_agg_sketch": SQL_OP_AGG_SKETCH,
+    # same oracle on purpose: merged daily sketches must be
+    # bin-identical to the single-shot sketch (re-aggregation)
+    "op_agg_sketch_merge": SQL_OP_AGG_SKETCH,
     "op_enrich_dim": SQL_OP_ENRICH_DIM,
     "op_log_to_metric": SQL_OP_LOG_TO_METRIC,
     "tpch_q1": SQL_TPCH_Q1,
