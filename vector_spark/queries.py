@@ -1110,6 +1110,30 @@ def q_dp_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
+def q_dp_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup-group resolution: jaccard pairs -> connected
+    components (alternating large/small-star) -> every doc labeled
+    with its group id (component min; itself for singletons). Oracle
+    recomputes the closure with a DuckDB recursive CTE — an
+    independent derivation of the same fixpoint."""
+    from vector_spark.datapipe.components import dup_groups
+
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return dup_groups(docs, pairs.select("id_a", "id_b"))
+
+
+def q_dp_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware canonical dedup: one doc kept per dup group —
+    longest text, ties by min doc_id (rerun-stable). min_by over a
+    struct = one combinable shuffle, not a per-group window sort."""
+    from vector_spark.datapipe.components import dedup_keep_best
+
+    docs = _tbl(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    return dedup_keep_best(docs, pairs.select("id_a", "id_b")).select("doc_id")
+
+
 _JACCARD_SQL_BODY = """
 sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM s GROUP BY id),
 inter AS (
@@ -1127,6 +1151,49 @@ SQL_DP_JACCARD_PAIRS = (
     + ","
     + _JACCARD_SQL_BODY
     + "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2"
+)
+
+# Transitive closure of the pair graph via recursive CTE: reach(x)
+# accumulates every label whose node can reach x over symmetric
+# edges; min(reach) == component min — the same fixpoint the Spark
+# side's large/small-star iteration converges to.
+_COMPONENTS_CTE = (
+    _SHINGLES_CTE
+    + ","
+    + _JACCARD_SQL_BODY
+    + """,
+pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, lab) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+grp AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+"""
+)
+
+SQL_DP_DUP_GROUPS = (
+    "WITH RECURSIVE " + _COMPONENTS_CTE + "SELECT doc_id, group_id FROM grp"
+)
+
+SQL_DP_DEDUP_KEEP = (
+    "WITH RECURSIVE "
+    + _COMPONENTS_CTE
+    + """,
+ranked AS (
+  SELECT g.doc_id,
+         row_number() OVER (
+           PARTITION BY g.group_id
+           ORDER BY length(d.text) DESC, g.doc_id) AS rn
+  FROM grp g JOIN documents d ON d.doc_id = g.doc_id)
+SELECT doc_id FROM ranked WHERE rn = 1
+"""
 )
 
 
@@ -2556,6 +2623,8 @@ QUERIES = {
     "op_line_agg_modes": q_op_line_agg_modes,
     "op_agg_sketch": q_op_agg_sketch,
     "op_agg_sketch_merge": q_op_agg_sketch_merge,
+    "dp_dup_groups": q_dp_dup_groups,
+    "dp_dedup_keep": q_dp_dedup_keep,
     # -- plan changed in r4 (grok keyvalue signature + root-map merge,
     # dd-search mixed-bracket rejection, vrl decode_percent fallible)
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
@@ -2678,6 +2747,8 @@ ORACLES = {
     # same oracle on purpose: merged daily sketches must be
     # bin-identical to the single-shot sketch (re-aggregation)
     "op_agg_sketch_merge": SQL_OP_AGG_SKETCH,
+    "dp_dup_groups": SQL_DP_DUP_GROUPS,
+    "dp_dedup_keep": SQL_DP_DEDUP_KEEP,
     "op_enrich_dim": SQL_OP_ENRICH_DIM,
     "op_log_to_metric": SQL_OP_LOG_TO_METRIC,
     "tpch_q1": SQL_TPCH_Q1,
