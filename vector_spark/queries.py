@@ -1110,17 +1110,25 @@ def q_dp_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, n_hashes=_MH_N, rows_per_band=2, threshold=0.2
+    ).select("id_a", "id_b")
+
+
 def q_dp_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive dup-group resolution: jaccard pairs -> connected
-    components (alternating large/small-star) -> every doc labeled
-    with its group id (component min; itself for singletons). Oracle
-    recomputes the closure with a DuckDB recursive CTE — an
-    independent derivation of the same fixpoint."""
+    """Transitive dup-group resolution over the SCALE pair path:
+    minhash+LSH pairs (the bucketed emitter, not the quadratic
+    jaccard ground truth) -> connected components (alternating
+    large/small-star) -> every doc labeled with its group id
+    (component min; itself for singletons). Oracle recomputes the
+    same LSH pairs in SQL and closes them with a DuckDB recursive
+    CTE — an independent derivation of the same fixpoint."""
     from vector_spark.datapipe.components import dup_groups
 
     docs = _tbl(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-    return dup_groups(docs, pairs.select("id_a", "id_b"))
+    return dup_groups(docs, _lsh_pairs(spark, sf_dir))
 
 
 def q_dp_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,8 +1138,7 @@ def q_dp_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.datapipe.components import dedup_keep_best
 
     docs = _tbl(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-    return dedup_keep_best(docs, pairs.select("id_a", "id_b")).select("doc_id")
+    return dedup_keep_best(docs, _lsh_pairs(spark, sf_dir)).select("doc_id")
 
 
 _JACCARD_SQL_BODY = """
@@ -1153,16 +1160,76 @@ SQL_DP_JACCARD_PAIRS = (
     + "SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2"
 )
 
+def q_dp_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tbl(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, n_hashes=_MH_N, rows_per_band=2, threshold=0.2
+    )
+
+
+# hashed-shingle form: dedup and jaccard counting run over the
+# md5-derived numeric id, mirroring the Spark plan's shingles_hashed
+# (engine parity holds by construction: identical hash, identical
+# DISTINCT semantics)
+_SHINGLES_HASHED_CTE = r"""
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+s0 AS (
+  SELECT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+sh AS (
+  SELECT DISTINCT id,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM s0)
+"""
+
+_MINHASH_PAIRS_CTE = (
+    _SHINGLES_HASHED_CTE
+    + f""",
+sig AS (SELECT id, {_mh_sql_cols()} FROM sh GROUP BY id),
+buckets0 AS (
+  SELECT id, 0 AS band, md5(concat_ws('_', CAST(mh0 AS VARCHAR), CAST(mh1 AS VARCHAR))) AS bucket FROM sig
+  UNION ALL
+  SELECT id, 1 AS band, md5(concat_ws('_', CAST(mh2 AS VARCHAR), CAST(mh3 AS VARCHAR))) AS bucket FROM sig),
+buckets AS (
+  SELECT id, band, bucket FROM (
+    SELECT id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM buckets0)
+  WHERE bsz <= 10000),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
+  GROUP BY 1, 2),
+j AS (
+  SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)"""
+)
+
+SQL_DP_MINHASH_LSH_PAIRS = (
+    "WITH "
+    + _MINHASH_PAIRS_CTE
+    + """
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.2"""
+)
+
 # Transitive closure of the pair graph via recursive CTE: reach(x)
 # accumulates every label whose node can reach x over symmetric
 # edges; min(reach) == component min — the same fixpoint the Spark
-# side's large/small-star iteration converges to.
+# side's large/small-star iteration converges to. Edges come from
+# the SAME LSH-bucketed pair logic the Spark plan runs (identical
+# hashes + bucket cap: engine parity by construction).
 _COMPONENTS_CTE = (
-    _SHINGLES_CTE
-    + ","
-    + _JACCARD_SQL_BODY
+    _MINHASH_PAIRS_CTE
     + """,
-pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN j ON j.id_a = c.id_a AND j.id_b = c.id_b
+  WHERE j.jaccard >= 0.2),
 edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION
@@ -1194,59 +1261,6 @@ ranked AS (
   FROM grp g JOIN documents d ON d.doc_id = g.doc_id)
 SELECT doc_id FROM ranked WHERE rn = 1
 """
-)
-
-
-def q_dp_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _tbl(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(
-        docs, "doc_id", "text", n=3, n_hashes=_MH_N, rows_per_band=2, threshold=0.2
-    )
-
-
-# hashed-shingle form: dedup and jaccard counting run over the
-# md5-derived numeric id, mirroring the Spark plan's shingles_hashed
-# (engine parity holds by construction: identical hash, identical
-# DISTINCT semantics)
-_SHINGLES_HASHED_CTE = r"""
-w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-s0 AS (
-  SELECT doc_id AS id, array_to_string(ws[i:i+2], ' ') AS shingle
-  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
-sh AS (
-  SELECT DISTINCT id,
-         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
-  FROM s0)
-"""
-
-SQL_DP_MINHASH_LSH_PAIRS = (
-    "WITH "
-    + _SHINGLES_HASHED_CTE
-    + f""",
-sig AS (SELECT id, {_mh_sql_cols()} FROM sh GROUP BY id),
-buckets0 AS (
-  SELECT id, 0 AS band, md5(concat_ws('_', CAST(mh0 AS VARCHAR), CAST(mh1 AS VARCHAR))) AS bucket FROM sig
-  UNION ALL
-  SELECT id, 1 AS band, md5(concat_ws('_', CAST(mh2 AS VARCHAR), CAST(mh3 AS VARCHAR))) AS bucket FROM sig),
-buckets AS (
-  SELECT id, band, bucket FROM (
-    SELECT id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS bsz
-    FROM buckets0)
-  WHERE bsz <= 10000),
-cand AS (
-  SELECT DISTINCT l.id AS id_a, r.id AS id_b
-  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
-sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS i
-  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
-  GROUP BY 1, 2),
-j AS (
-  SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
-SELECT c.id_a, c.id_b, j.jaccard
-FROM cand c JOIN j ON j.id_a = c.id_a AND j.id_b = c.id_b
-WHERE j.jaccard >= 0.2"""
 )
 
 
