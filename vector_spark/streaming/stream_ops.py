@@ -218,16 +218,26 @@ def stream_throttle_state(
         else:
             win, count = -1, 0
         rows = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
-            for r in pdf.itertuples(index=False):
-                ts = getattr(r, ts_col)
-                w = int(ts.timestamp()) // window_secs
-                if w != win:
-                    win, count = w, 0
-                if count < threshold:
-                    count += 1
-                    rows.append(r)
+        # Admission depends on processing ORDER, so order must be a
+        # property of the data, not of Arrow chunking: concat the whole
+        # micro-batch group, then one stable sort (quicksort reorders
+        # ts-ties across runs). to_dict('records') instead of
+        # itertuples — tuple-attr access breaks for column names that
+        # are not valid Python identifiers.
+        chunks = [pdf for pdf in pdf_iter]
+        batch = (
+            pd.concat(chunks).sort_values(ts_col, kind="stable")
+            if chunks
+            else pd.DataFrame()
+        )
+        for d in batch.to_dict("records"):
+            ts = d[ts_col]
+            w = int(ts.timestamp()) // window_secs
+            if w != win:
+                win, count = w, 0
+            if count < threshold:
+                count += 1
+                rows.append(d)
         state.update((win, count))
         if rows:
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
