@@ -102,6 +102,8 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "op_agg_sketch_merge",
         "dp_dup_groups",
         "dp_dedup_keep",
+        "dp_stratified_sample",
+        "dp_tfidf_terms",
     ]
     for name in secondary:
         fn = QUERIES[name]

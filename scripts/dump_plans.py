@@ -124,6 +124,26 @@ def main() -> None:
         "SimHash near-dup pairs, band-bucketed Hamming join (dp_simhash_pairs)",
         QUERIES["dp_simhash_pairs"](spark, sf_dir),
     )
+    add(
+        "Mergeable DDSketch, native log-gamma bin expressions (op_agg_sketch)",
+        QUERIES["op_agg_sketch"](spark, sf_dir),
+    )
+    add(
+        "DDSketch merge-of-merges, stored-sketch re-aggregation (op_agg_sketch_merge)",
+        QUERIES["op_agg_sketch_merge"](spark, sf_dir),
+    )
+    add(
+        "Dup-group labels, large/small-star connected components (dp_dup_groups)",
+        QUERIES["dp_dup_groups"](spark, sf_dir),
+    )
+    add(
+        "Canonical-doc dedup over dup groups (dp_dedup_keep)",
+        QUERIES["dp_dedup_keep"](spark, sf_dir),
+    )
+    add(
+        "line_agg full mode enum, lag'd boundary markers (op_line_agg_modes)",
+        QUERIES["op_line_agg_modes"](spark, sf_dir),
+    )
 
     md = [
         "# PLANS — physical plans of the flagship paths\n",

@@ -183,6 +183,110 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: tuple[str, ...] = ("lang", "source"),
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "strata-v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the dataset-MIXING
+    primitive: keep each stratum (e.g. language x source) at its own
+    rate, so one pass re-weights a corpus ("3x wiki, 0.1x crawl")
+    without a shuffle or an RNG. The keep decision is the same
+    portable md5 bucket as `split_assign`, keyed on (id, salt): stable
+    across runs, cluster sizes and engines, and INDEPENDENT of the
+    split hash (different salt), so sampling never correlates with
+    split assignment.
+
+    `rates` maps a '|'-joined stratum key ('en|wiki') to a keep
+    fraction in [0, 1]; unlisted strata fall to `default_rate`.
+    Fractions resolve against 10_000 hash buckets (0.25 -> buckets
+    0..2499) — exactly reproducible as ANSI SQL.
+
+    100 TB design: zero shuffle — the rate table is config-sized and
+    compiles to a literal CASE, the bucket is one md5 projection;
+    composes with any scan at scan speed.
+    """
+    from vector_spark.functions.hashes import hex_prefix_to_long
+
+    rates = rates if rates is not None else {}
+    for key, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {key!r} must be in [0,1], got {r}")
+    stratum = F.concat_ws("|", *[F.col(c) for c in strata_cols])
+    bucket = F.pmod(
+        hex_prefix_to_long(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+        ),
+        F.lit(10_000),
+    )
+    thresh: Column = F.lit(int(round(default_rate * 10_000)))
+    for key, r in sorted(rates.items()):
+        thresh = F.when(stratum == key, F.lit(int(round(r * 10_000)))).otherwise(
+            thresh
+        )
+    return df.withColumn("stratum", stratum).filter(bucket < thresh)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most DISTINCTIVE terms per document by tf-idf — keyword
+    extraction over the whole corpus in one declarative plan.
+
+    score = tf * ln(n_docs / df): tf = occurrences of the term in the
+    document, df = number of documents containing it, n_docs = corpus
+    size. Ranking uses the score ROUNDED to 6 decimals (then the term
+    ascending): mathematically-equal scores can differ in the last
+    float bit between engines (2*ln(10) vs ln(100)), and an unrounded
+    order-by would let that bit pick different rows engine-to-engine.
+
+    100 TB design: tf and df are both map-side-combinable groupBys;
+    n_docs is a 1-row broadcast (no driver collect); the df join is
+    keyed on the term (vocabulary-sized side, AQE may broadcast); the
+    final per-document window partitions on the document id — high
+    cardinality, bounded rows per partition, no global sort.
+    """
+    from pyspark.sql import Window
+
+    from vector_spark.datapipe.dedup import word_tokens
+
+    words = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def top_words(
     df: DataFrame,
     text_col: str = "text",

@@ -1027,6 +1027,72 @@ FROM b
 """
 
 
+def q_dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.datapipe.textstats import stratified_sample
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        ("lang", "source"),
+        rates={
+            "en|src1": 1.0,   # keep all
+            "en|src18": 0.5,  # downsample the biggest stratum
+            "de|src0": 0.25,
+            "zh|src12": 0.0,  # drop entirely
+        },
+        default_rate=0.3,
+    ).select("doc_id", "stratum")
+
+
+# same portable md5 bucket as SQL_DP_SPLIT, different salt; rate CASE
+# mirrors the Spark literal CASE exactly (fractions -> /10000 buckets)
+SQL_DP_STRATIFIED_SAMPLE = r"""
+WITH b AS (
+  SELECT doc_id, concat_ws('|', lang, source) AS stratum,
+         CAST(concat('0x', substr(md5(doc_id::VARCHAR || ':strata-v1'), 1, 15))
+              AS BIGINT) % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, stratum FROM b
+WHERE bucket < CASE stratum
+    WHEN 'de|src0'  THEN 2500
+    WHEN 'en|src1'  THEN 10000
+    WHEN 'en|src18' THEN 5000
+    WHEN 'zh|src12' THEN 0
+    ELSE 3000 END
+"""
+
+
+def q_dp_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_spark.datapipe.textstats import tfidf_top_terms
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+# rank by ROUND(score, 6) in both engines: mathematically-equal scores
+# (2*ln(10) vs ln(100)) can differ in the last float bit and an
+# unrounded ORDER BY would let that bit pick different rows
+SQL_DP_TFIDF_TERMS = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(tf.tf * ln(n.n_docs / dfq.df), 6) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM s)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def q_dp_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.datapipe.textstats import top_words
 
@@ -2639,6 +2705,8 @@ QUERIES = {
     "op_agg_sketch_merge": q_op_agg_sketch_merge,
     "dp_dup_groups": q_dp_dup_groups,
     "dp_dedup_keep": q_dp_dedup_keep,
+    "dp_stratified_sample": q_dp_stratified_sample,
+    "dp_tfidf_terms": q_dp_tfidf_terms,
     # -- plan changed in r4 (grok keyvalue signature + root-map merge,
     # dd-search mixed-bracket rejection, vrl decode_percent fallible)
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
@@ -2688,12 +2756,12 @@ QUERIES = {
     "dp_ann_bucketed": q_dp_ann_bucketed,
     "dp_ann_ivf": q_dp_ann_ivf,
     "op_decode_avro": q_op_decode_avro,
+    # ---- >50 tail: untouched in r4, all green in CORRECTNESS_r03 ----
     "op_decode_native_proto": q_op_decode_native_proto,
     "op_route_kind": q_op_route_kind,
     "op_agg_salted": q_op_agg_salted,
     "mm_features_checked": q_mm_features_checked,
     "mm_features": q_mm_features,  # rows-only
-    # ---- >50 tail: untouched in r4, all green in CORRECTNESS_r03 ----
     "dp_ann_multiprobe": q_dp_ann_multiprobe,
     "dp_repetition": q_dp_repetition,
     "dp_decontaminate": q_dp_decontaminate,
@@ -2757,6 +2825,8 @@ ORACLES = {
     "op_cardinality": SQL_OP_CARDINALITY,
     "op_line_agg": SQL_OP_LINE_AGG,
     "op_line_agg_modes": SQL_OP_LINE_AGG_MODES,
+    "dp_stratified_sample": SQL_DP_STRATIFIED_SAMPLE,
+    "dp_tfidf_terms": SQL_DP_TFIDF_TERMS,
     "op_agg_sketch": SQL_OP_AGG_SKETCH,
     # same oracle on purpose: merged daily sketches must be
     # bin-identical to the single-shot sketch (re-aggregation)
