@@ -1,0 +1,89 @@
+"""Physical-plan shape regressions for the round-4 query paths.
+
+Correctness tests elsewhere prove the VALUES; these pin the PLAN
+properties that make each path safe at 100 TB, so a refactor that
+silently reintroduces a scale-killer (cartesian pair join, global
+single-partition sort, per-field UDF re-evaluation) fails CI even
+though the small-SF values still match.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def executed(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from vector_spark.queries import QUERIES
+
+    return QUERIES
+
+
+def test_dup_groups_no_cartesian(spark, queries):
+    # Connected components over LSH candidate pairs: every iteration is
+    # self-join + min-aggregate on ids — a cartesian/NL join anywhere
+    # would be quadratic in docs at scale.
+    plan = executed(queries["dp_dup_groups"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dedup_keep_no_cartesian_no_global_sort(spark, queries):
+    plan = executed(queries["dp_dedup_keep"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # canonical-doc pick is a per-group max_by/struct-max, not a global
+    # order-by over all docs (rangepartitioning == global sort)
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_sketch_agg_is_two_level_no_window(spark, queries):
+    # DDSketch bins: explode-free native expressions, partial+final
+    # HashAggregate, no window exec (a window would force a sort of all
+    # events per group) and no Python crossing.
+    plan = executed(queries["op_agg_sketch"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+
+
+def test_sketch_merge_reaggregates_without_python(spark, queries):
+    plan = executed(queries["op_agg_sketch_merge"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_line_agg_modes_single_window_chain_no_python(spark, queries):
+    # Mode enum is lag/sum window math over (source, ts) — must stay
+    # JVM-side; one partitioning (by source) serves the whole chain, so
+    # at most one exchange for the window tree.
+    df = queries["op_line_agg_modes"](spark, SF_DIR)
+    plan = executed(df)
+    assert "ArrowEvalPython" not in plan, plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 2, f"{n_exchange} hash exchanges\n{plan}"
+
+
+def test_tfidf_no_global_sort(spark, queries):
+    # per-doc top-k terms: rank window partitioned by doc_id (high
+    # cardinality) — a global Sort without partitioning would serialize
+    # the corpus through one task.
+    plan = executed(queries["dp_tfidf_terms"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    # window sorts are fine — they follow a hashpartitioning exchange;
+    # a rangepartitioning exchange would mean a global sort
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_stratified_sample_zero_shuffle(spark, queries):
+    # rate table compiles to a literal CASE over a portable hash —
+    # pure projection, scan-parallel.
+    plan = executed(queries["dp_stratified_sample"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
