@@ -104,6 +104,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_dedup_keep",
         "dp_stratified_sample",
         "dp_tfidf_terms",
+        "dp_span_dedup",
     ]
     for name in secondary:
         fn = QUERIES[name]

@@ -363,6 +363,79 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
 
 
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, span_words: int = 10
+) -> DataFrame:
+    """Cross-document SPAN-level exact dedup (the C4/RefinedWeb
+    curation step: drop any repeated fixed-size text span corpus-wide,
+    keeping only its first occurrence): text -> non-overlapping
+    `span_words`-word spans -> global first-occurrence keep -> document
+    reassembled from its surviving spans, in order.
+
+    Returns (id, text_dedup, n_kept); a fully-duplicated document
+    survives as an empty string so downstream length filters can drop
+    it explicitly.
+
+    100 TB design: the kept set IS the distinct-span set — each
+    distinct span text survives exactly at min(struct(id, seg_idx)) —
+    so there is NO join-back of the span stream against the winners
+    (the naive formulation). Three key-partitioned shuffles total:
+    groupBy(span) with a map-side-combinable min(struct) (a boilerplate
+    span duplicated millions of times combines per partition instead of
+    funneling rows into one task — same skew story as op_dedupe's
+    min_by rework), groupBy(id) for reassembly, and the left join back
+    to the id spine for all-spans-dropped documents. All expressions
+    JVM-side; no window over the corpus, no global sort.
+    """
+    words = word_tokens(F.col(text_col))
+    n_seg = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
+    idx = F.when(n_seg > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.array_join(F.slice(words, i * span_words + 1, span_words), " ").alias(
+                "seg"
+            ),
+        ),
+    )
+    segs = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(spans).alias("s"))
+        .select("id", F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
+    )
+    kept = (
+        segs.groupBy("seg")
+        .agg(F.min(F.struct("id", "seg_idx")).alias("keep"))
+        .select(
+            F.col("keep.id").alias("id"),
+            F.col("keep.seg_idx").alias("seg_idx"),
+            "seg",
+        )
+    )
+    re = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(re, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     bench: DataFrame,

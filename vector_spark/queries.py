@@ -1111,6 +1111,45 @@ ORDER BY n DESC, word LIMIT 20
 """
 
 
+def q_dp_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup: 10-word spans, global
+    first-occurrence keep (min (doc_id, seg_idx)), docs reassembled
+    from surviving spans. Mirrors the reference's dedupe-transform
+    IDEA at sub-document granularity (src/transforms/dedupe.rs keeps
+    first-seen whole events; span_dedup keeps first-seen text spans —
+    the corpus-curation variant of the same keep-first contract)."""
+    from vector_spark.datapipe.dedup import span_dedup
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return span_dedup(docs, "doc_id", "text", span_words=10).select(
+        F.col("id").alias("doc_id"), "text_dedup", "n_kept"
+    )
+
+
+SQL_DP_SPAN_DEDUP = r"""
+WITH w AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(text)='' THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+           FROM documents),
+segs AS (
+  SELECT doc_id, CAST(t.i AS INT) AS seg_idx,
+         array_to_string(ws[CAST(t.i*10+1 AS BIGINT) : CAST(t.i*10+10 AS BIGINT)], ' ') AS seg
+  FROM w, unnest(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS t(i)),
+kept AS (
+  SELECT seg, min(struct_pack(doc_id := doc_id, seg_idx := seg_idx)) AS keep
+  FROM segs GROUP BY seg),
+k2 AS (SELECT struct_extract(keep, 'doc_id') AS doc_id,
+              struct_extract(keep, 'seg_idx') AS seg_idx, seg FROM kept),
+re AS (
+  SELECT doc_id,
+         array_to_string(list(seg ORDER BY seg_idx), ' ') AS text_dedup,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM k2 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(re.text_dedup, '') AS text_dedup,
+       coalesce(re.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN re USING (doc_id)
+"""
+
+
 def q_dp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.datapipe.dedup import decontaminate
 
@@ -2707,6 +2746,7 @@ QUERIES = {
     "dp_dedup_keep": q_dp_dedup_keep,
     "dp_stratified_sample": q_dp_stratified_sample,
     "dp_tfidf_terms": q_dp_tfidf_terms,
+    "dp_span_dedup": q_dp_span_dedup,
     # -- plan changed in r4 (grok keyvalue signature + root-map merge,
     # dd-search mixed-bracket rejection, vrl decode_percent fallible)
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
@@ -2786,6 +2826,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dp_span_dedup": SQL_DP_SPAN_DEDUP,
     "op_decode_avro": SQL_OP_DECODE_AVRO,
     "op_decode_native_proto": SQL_OP_DECODE_NATIVE_PROTO,
     "op_parse_grok_aliases": SQL_OP_PARSE_GROK_ALIASES,
