@@ -144,6 +144,10 @@ def main() -> None:
         "line_agg full mode enum, lag'd boundary markers (op_line_agg_modes)",
         QUERIES["op_line_agg_modes"](spark, sf_dir),
     )
+    add(
+        "Span-level dedup, join-free distinct-span keep-first (dp_span_dedup)",
+        QUERIES["dp_span_dedup"](spark, sf_dir),
+    )
 
     md = [
         "# PLANS — physical plans of the flagship paths\n",
