@@ -105,6 +105,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_stratified_sample",
         "dp_tfidf_terms",
         "dp_span_dedup",
+        "dp_redact",
     ]
     for name in secondary:
         fn = QUERIES[name]

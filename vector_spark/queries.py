@@ -1150,6 +1150,78 @@ FROM documents d LEFT JOIN re USING (doc_id)
 """
 
 
+def q_dp_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII redaction pass (datapipe/redact.py): the training-data
+    analogue of the reference's `redact` VRL function
+    (lib/vrl/stdlib/src/redact.rs — Filter::UsSocialSecurityNumber uses
+    the exact non-lookaround SSN regex we carry, Redactor::Full →
+    "[REDACTED]"). The synthetic documents carry no PII, so the query
+    seeds one deterministic email/IP/SSN/phone per doc from doc_id —
+    the SAME construction runs in the oracle, so parity checks both the
+    patterns and the filter ordering. Every pattern lives once, in
+    `redact.PII_FILTERS`, and is written in the Java-regex ∩ RE2 common
+    subset so DuckDB runs the identical expressions."""
+    from vector_spark.datapipe.redact import redact_pii
+
+    docs = _tbl(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 ssn 212-"),
+            F.lpad(((F.col("doc_id") % 99) + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            # serial = a nonzero digit repeated 4x -> always matches the
+            # reference pattern's [1-9]{4} alternative
+            F.repeat(((F.col("doc_id") % 9) + 1).cast("string"), 4),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded, "text").select(
+        "doc_id", "text_redacted", "n_email", "n_ssn", "n_ipv4", "n_phone"
+    )
+
+
+def _sql_dp_redact() -> str:
+    """Oracle for dp_redact, generated from redact.PII_FILTERS so the
+    patterns (and their application ORDER) have a single source of
+    truth — a pattern edit cannot silently diverge from the oracle."""
+    from vector_spark.datapipe.redact import PII_FILTERS
+
+    redacted = "text"
+    for _, pattern, marker in PII_FILTERS:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{marker}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT) AS n_{name}"
+        for name, pattern, _ in PII_FILTERS
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR)
+         || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.0.1 ssn 212-' || lpad(CAST(doc_id % 99 + 1 AS VARCHAR), 2, '0')
+         || '-' || repeat(CAST(doc_id % 9 + 1 AS VARCHAR), 4)
+         || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents)
+SELECT doc_id,
+       {redacted} AS text_redacted,
+       {counts}
+FROM s
+"""
+
+
+SQL_DP_REDACT = _sql_dp_redact()
+
+
 def q_dp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.datapipe.dedup import decontaminate
 
@@ -2747,6 +2819,7 @@ QUERIES = {
     "dp_stratified_sample": q_dp_stratified_sample,
     "dp_tfidf_terms": q_dp_tfidf_terms,
     "dp_span_dedup": q_dp_span_dedup,
+    "dp_redact": q_dp_redact,
     # -- plan changed in r4 (grok keyvalue signature + root-map merge,
     # dd-search mixed-bracket rejection, vrl decode_percent fallible)
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
@@ -2827,6 +2900,7 @@ QUERIES = {
 
 ORACLES = {
     "dp_span_dedup": SQL_DP_SPAN_DEDUP,
+    "dp_redact": SQL_DP_REDACT,
     "op_decode_avro": SQL_OP_DECODE_AVRO,
     "op_decode_native_proto": SQL_OP_DECODE_NATIVE_PROTO,
     "op_parse_grok_aliases": SQL_OP_PARSE_GROK_ALIASES,
