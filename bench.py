@@ -106,6 +106,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_tfidf_terms",
         "dp_span_dedup",
         "dp_redact",
+        "dp_lm_perplexity",
     ]
     for name in secondary:
         fn = QUERIES[name]

@@ -1,0 +1,228 @@
+"""Bigram language-model perplexity scoring — the KenLM-style quality
+filter every pretraining pipeline runs (CCNet/Wenzek et al. 2020 score
+documents by LM perplexity; RefinedWeb/Dolma keep variants of it).
+
+The reference has no LM stage — this is one of the beyond-the-reference
+training-data operators (SURVEY.md §2's "beyond" list), kept in the
+same spirit as its siblings in `textstats.py`: a fully declarative
+Spark plan, zero Python in the hot path, and every arithmetic step
+chosen so a DuckDB oracle reproduces it bit-for-bit.
+
+Model: add-k-smoothed bigram LM over a CAPPED vocabulary —
+``P(cur|prev) = (c(prev,cur) + k) / (ctx(prev) + k * V)`` where
+``ctx(prev)`` is the number of bigrams whose first token is ``prev``
+(NOT the raw unigram count: a document-final token has no successor,
+and using unigram counts would make the conditional distribution
+deficient — probabilities would not sum to 1) and V is the vocabulary
+size including the ``<unk>`` bucket every out-of-vocabulary token maps
+to. With context counts, ``sum_cur P(cur|prev) == 1`` exactly (tested).
+Score: per-document cross-entropy ``xent = -sum(ln P) / n_bigrams``
+(natural log, nats/token).
+
+Cross-engine determinism (the part that makes an exact value oracle
+possible):
+
+- the vocabulary cut is ordered ``(count DESC, term ASC)`` — a float-
+  free, tie-stable top-V in both engines;
+- each bigram's ``ln P`` is ROUNDED to 6 decimals and cast to
+  ``DECIMAL(12,6)`` BEFORE summing. Double summation is
+  order-dependent (non-associative), and Spark sums in partition
+  order while DuckDB sums in its own — a double ``sum()`` would
+  hash-mismatch on the last bit. Decimal addition is exact, so the
+  sum is independent of partition count and engine.
+
+100 TB design:
+
+- training = two map-side-combinable count shuffles (unigrams,
+  bigrams) over one corpus scan each; the vocabulary cut is a
+  TakeOrderedAndProject over the already-aggregated unigram table
+  (vocabulary-sized, no global sort of the corpus);
+- the context-count table is derived from the BIGRAM counts
+  (vocabulary-sized input), not a corpus rescan;
+- V and the model tables ride along as broadcasts: vocab and unigrams
+  are at most ``vocab_size + 1`` rows (explicit ``F.broadcast``); the
+  bigram table is corpus-bounded and left to AQE (broadcast when it
+  fits, key-partitioned equi-join when it does not);
+- scoring = one projection (token array → in-row bigram pair structs,
+  no positional window, no per-token shuffle), the model joins, and
+  ONE groupBy(doc_id) whose partial aggregation collapses each
+  document map-side (a document's pairs are co-located by explode);
+- in production the model tables would be persisted once and reused;
+  here they are recomputed per run so the whole query stays a single
+  declarative plan the oracle can mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.datapipe.dedup import word_tokens
+
+UNK = "<unk>"
+
+
+def _tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens (word_tokens semantics: NULL /
+    empty / whitespace-only → empty array)."""
+    return word_tokens(F.lower(col))
+
+
+def bigram_pairs(words: Column) -> Column:
+    """array<struct<prev,cur>> of adjacent token pairs — built in-row
+    with a sequence transform (no positional window, no shuffle)."""
+    k = F.size(words) - 1
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(words, i + 1).alias("prev"),
+            F.element_at(words, i + 2).alias("cur"),
+        ),
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 512,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train the model tables: returns ``(vocab, contexts, bigrams,
+    vsize)`` as DataFrames —
+
+    - ``vocab(term)`` — top-``vocab_size`` terms by (count DESC,
+      term ASC); the tie-stable cut both engines reproduce;
+    - ``contexts(prev, c_ctx)`` — number of bigrams starting with
+      each vocab-folded token (the conditional's denominator),
+      derived from the bigram table, NOT a corpus rescan;
+    - ``bigrams(prev, cur, c_bi)`` — adjacent-pair counts with both
+      endpoints vocab-folded;
+    - ``vsize`` — 1-row ``(vsize)`` = |vocab| + 1 (the ``<unk>``
+      bucket), carried as a broadcastable DataFrame so no driver
+      ``collect()`` is needed.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks = df.select(_tokens(F.col(text_col)).alias("toks"))
+
+    # Model-table lineage is REUSED many times downstream (the vocab
+    # joins appear on both training and scoring sides). Persist the
+    # two small tables so the corpus is scanned once per count pass,
+    # not once per use — in production these would be written out and
+    # reloaded; persist() is the single-plan equivalent. Both are
+    # aggregation outputs (vocabulary-sized), MEMORY_AND_DISK so a
+    # huge vocabulary spills instead of evicting.
+    uni_raw = (
+        toks.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = (
+        uni_raw.orderBy(F.col("n").desc(), F.col("term"))
+        .limit(vocab_size)
+        .select("term")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = toks.select(F.explode(bigram_pairs(F.col("toks"))).alias("p")).select(
+        "p.prev", "p.cur"
+    )
+    vp = vocab.withColumnRenamed("term", "prev").withColumn("pv", F.lit(True))
+    vc = vocab.withColumnRenamed("term", "cur").withColumn("cv", F.lit(True))
+    bigrams = (
+        pairs.join(F.broadcast(vp), "prev", "left")
+        .join(F.broadcast(vc), "cur", "left")
+        .select(
+            F.when(F.col("pv").isNotNull(), F.col("prev")).otherwise(F.lit(UNK)).alias("prev"),
+            F.when(F.col("cv").isNotNull(), F.col("cur")).otherwise(F.lit(UNK)).alias("cur"),
+        )
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_bi"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    contexts = bigrams.groupBy("prev").agg(
+        F.sum("c_bi").cast("bigint").alias("c_ctx")
+    )
+
+    vsize = vocab.agg((F.count(F.lit(1)) + 1).cast("bigint").alias("vsize"))
+    return vocab, contexts, bigrams, vsize
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 512,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document bigram-LM cross-entropy over a model trained on
+    the SAME corpus (the self-scoring form a quality filter uses; to
+    score against a held-out reference corpus, train on that corpus
+    and join these stages yourself).
+
+    Output: ``(doc_id, n_tokens, n_bigrams, logprob_sum, xent)`` —
+    ``xent`` in nats/token, NULL for documents with < 2 tokens
+    (``n_bigrams = 0``); ``logprob_sum`` is the exact decimal sum of
+    6-dp-rounded per-bigram ``ln P``, surfaced as double.
+    """
+    vocab, contexts, bigrams, vsize = train_bigram_lm(
+        df, text_col=text_col, vocab_size=vocab_size
+    )
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.explode_outer(bigram_pairs(F.col("toks"))).alias("p"),
+    )
+    # explode_outer keeps 0/1-token documents as a single NULL-pair row,
+    # so no spine re-join is needed to report them.
+    vp = vocab.withColumnRenamed("term", "_vprev").withColumn("pv", F.lit(True))
+    vc = vocab.withColumnRenamed("term", "_vcur").withColumn("cv", F.lit(True))
+    mapped = (
+        docs.join(F.broadcast(vp), F.col("p.prev") == F.col("_vprev"), "left")
+        .join(F.broadcast(vc), F.col("p.cur") == F.col("_vcur"), "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("p.prev").isNull(), F.lit(None).cast("string"))
+            .when(F.col("pv").isNotNull(), F.col("p.prev"))
+            .otherwise(F.lit(UNK))
+            .alias("prev"),
+            F.when(F.col("p.cur").isNull(), F.lit(None).cast("string"))
+            .when(F.col("cv").isNotNull(), F.col("p.cur"))
+            .otherwise(F.lit(UNK))
+            .alias("cur"),
+        )
+    )
+    # coalesce(c_ctx, 0): a token that only ever ends documents has no
+    # outgoing bigram; add-k then degrades to the uniform ln(1/V).
+    scored = (
+        mapped.join(F.broadcast(contexts), "prev", "left")
+        .join(bigrams, ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .withColumn(
+            "logp",
+            F.when(
+                F.col("prev").isNotNull(),  # explode_outer's empty-doc row stays NULL
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c_bi"), F.lit(0)) + F.lit(add_k))
+                        / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.lit(add_k) * F.col("vsize"))
+                    ),
+                    6,
+                ),
+            ).cast("decimal(12,6)"),
+        )
+    )
+    return scored.groupBy("doc_id", "n_tokens").agg(
+        F.count("prev").cast("bigint").alias("n_bigrams"),
+        F.sum("logp").cast("double").alias("logprob_sum"),
+        F.when(
+            F.count("prev") > 0,
+            F.round(-F.sum("logp").cast("double") / F.count("prev"), 6),
+        ).alias("xent"),
+    )

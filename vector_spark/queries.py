@@ -1222,6 +1222,73 @@ FROM s
 SQL_DP_REDACT = _sql_dp_redact()
 
 
+def q_dp_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy quality score per document
+    (datapipe/lm_quality.py — the CCNet/KenLM-style perplexity filter;
+    beyond-the-reference training-data op). Self-scored on the corpus
+    with a 256-term capped vocabulary + <unk> and add-1 smoothing.
+    The value oracle is exact: per-bigram ln P is rounded to 6 dp and
+    summed as DECIMAL in both engines, so the sum is independent of
+    partition/engine summation order."""
+    from vector_spark.datapipe.lm_quality import lm_score
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return lm_score(docs, vocab_size=256, add_k=1.0).select(
+        "doc_id", "n_tokens", "n_bigrams", "logprob_sum", "xent"
+    )
+
+
+SQL_DP_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS a
+  FROM documents),
+uni_raw AS (
+  SELECT term, count(*) AS n
+  FROM (SELECT unnest(a) AS term FROM toks) GROUP BY 1),
+vocab AS (
+  SELECT term FROM uni_raw ORDER BY n DESC, term LIMIT 256),
+vsize AS (SELECT count(*) + 1 AS vsize FROM vocab),
+pos AS (
+  SELECT doc_id, len(a) AS n_tokens,
+         unnest(a) AS tok, unnest(range(1, len(a) + 1)) AS p
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id, a.n_tokens,
+         CASE WHEN vp.term IS NULL THEN '<unk>' ELSE a.tok END AS prev,
+         CASE WHEN vc.term IS NULL THEN '<unk>' ELSE b.tok END AS cur
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  LEFT JOIN vocab vp ON vp.term = a.tok
+  LEFT JOIN vocab vc ON vc.term = b.tok),
+scored AS (
+  SELECT p.doc_id, p.n_tokens,
+         CAST(round(ln((coalesce(bi.c_bi, 0) + 1.0)
+                       / (coalesce(cx.c_ctx, 0) + 1.0 * vs.vsize)), 6)
+              AS DECIMAL(12,6)) AS logp
+  FROM pairs p
+  LEFT JOIN (SELECT prev, count(*) AS c_ctx
+             FROM pairs GROUP BY 1) cx ON cx.prev = p.prev
+  LEFT JOIN (SELECT prev, cur, count(*) AS c_bi
+             FROM pairs GROUP BY 1, 2) bi
+         ON bi.prev = p.prev AND bi.cur = p.cur
+  CROSS JOIN vsize vs),
+agg AS (
+  SELECT doc_id, n_tokens,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(logp) AS DOUBLE) AS logprob_sum,
+         round(-CAST(sum(logp) AS DOUBLE) / count(*), 6) AS xent
+  FROM scored GROUP BY 1, 2)
+SELECT t.doc_id, CAST(t2.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       a.logprob_sum, a.xent
+FROM toks t
+JOIN (SELECT doc_id, len(a) AS n_tokens FROM toks) t2 USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_dp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.datapipe.dedup import decontaminate
 
@@ -2820,6 +2887,7 @@ QUERIES = {
     "dp_tfidf_terms": q_dp_tfidf_terms,
     "dp_span_dedup": q_dp_span_dedup,
     "dp_redact": q_dp_redact,
+    "dp_lm_perplexity": q_dp_lm_perplexity,
     # -- plan changed in r4 (grok keyvalue signature + root-map merge,
     # dd-search mixed-bracket rejection, vrl decode_percent fallible)
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
@@ -2901,6 +2969,7 @@ QUERIES = {
 ORACLES = {
     "dp_span_dedup": SQL_DP_SPAN_DEDUP,
     "dp_redact": SQL_DP_REDACT,
+    "dp_lm_perplexity": SQL_DP_LM_PERPLEXITY,
     "op_decode_avro": SQL_OP_DECODE_AVRO,
     "op_decode_native_proto": SQL_OP_DECODE_NATIVE_PROTO,
     "op_parse_grok_aliases": SQL_OP_PARSE_GROK_ALIASES,
