@@ -148,6 +148,14 @@ def main() -> None:
         "Span-level dedup, join-free distinct-span keep-first (dp_span_dedup)",
         QUERIES["dp_span_dedup"](spark, sf_dir),
     )
+    add(
+        "PII redaction, zero-shuffle JVM regexp chain (dp_redact)",
+        QUERIES["dp_redact"](spark, sf_dir),
+    )
+    add(
+        "Bigram-LM perplexity, persisted model + broadcast joins (dp_lm_perplexity)",
+        QUERIES["dp_lm_perplexity"](spark, sf_dir),
+    )
 
     md = [
         "# PLANS — physical plans of the flagship paths\n",
@@ -180,6 +188,13 @@ def main() -> None:
         "TakeOrderedAndProject (per-partition top-N, merge of <=limit",
         "rows) and NO window exec — a UUID-valued tag's distinct table",
         "never serializes through one task.\n",
+        "LM-perplexity note: the static tree repeats the PERSISTED",
+        "model-table lineage once per reference, inflating its Exchange",
+        "count — at runtime the cache collapses those to one",
+        "materialization each and the corpus crosses exactly 3",
+        "map-side-combinable shuffles (unigram count, bigram count,",
+        "per-doc score aggregate); vocab/context joins are explicit",
+        "broadcasts, the bigram-model join is AQE-sized.\n",
     ]
     for title, plan, simple in sections:
         md.append(f"\n## {title}\n")
