@@ -1289,6 +1289,68 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_dp_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (datapipe/packing.py): global token
+    offsets + chunk spans under GPT-style concat-and-chunk at
+    ctx_len=512, doc_id order. Two-phase weighted prefix sum — no
+    global sort; all arithmetic integer, so the oracle is bit-exact."""
+    from vector_spark.datapipe.packing import pack_chunks
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return pack_chunks(docs, ctx_len=512)
+
+
+def q_dp_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded per-(chunk, doc) slice table of the same packing —
+    the dataloader-facing artifact (token spans within each window)."""
+    from vector_spark.datapipe.packing import chunk_manifest
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return chunk_manifest(docs, ctx_len=512)
+
+
+_SQL_PACK_CHUNKS_CTE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_off
+  FROM d)
+"""
+
+SQL_DP_PACK_CHUNKS = _SQL_PACK_CHUNKS_CTE + """
+SELECT doc_id, n_tok, start_off,
+       CASE WHEN n_tok > 0 THEN start_off // 512 END AS chunk_start,
+       CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // 512 END AS chunk_end,
+       CAST(CASE WHEN n_tok > 0
+                 THEN (start_off + n_tok - 1) // 512 - start_off // 512 + 1
+                 ELSE 0 END AS BIGINT) AS n_chunks
+FROM c
+"""
+
+SQL_DP_PACK_MANIFEST = _SQL_PACK_CHUNKS_CTE + """
+, m AS (
+  SELECT doc_id, n_tok, start_off,
+         unnest(range(start_off // 512, (start_off + n_tok - 1) // 512 + 1))
+           AS chunk_id
+  FROM c WHERE n_tok > 0)
+SELECT chunk_id, doc_id,
+       CAST(greatest(start_off, chunk_id * 512) - chunk_id * 512 AS BIGINT)
+         AS tok_from,
+       CAST(least(start_off + n_tok, chunk_id * 512 + 512) - chunk_id * 512
+         AS BIGINT) AS tok_to,
+       CAST(least(start_off + n_tok, chunk_id * 512 + 512)
+            - greatest(start_off, chunk_id * 512) AS BIGINT) AS n_tok_in_chunk
+FROM m
+"""
+
+
 def q_dp_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.datapipe.dedup import decontaminate
 
@@ -2888,6 +2950,8 @@ QUERIES = {
     "dp_span_dedup": q_dp_span_dedup,
     "dp_redact": q_dp_redact,
     "dp_lm_perplexity": q_dp_lm_perplexity,
+    "dp_pack_chunks": q_dp_pack_chunks,
+    "dp_pack_manifest": q_dp_pack_manifest,
     # -- plan changed in r4 (grok keyvalue signature + root-map merge,
     # dd-search mixed-bracket rejection, vrl decode_percent fallible)
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
@@ -2970,6 +3034,8 @@ ORACLES = {
     "dp_span_dedup": SQL_DP_SPAN_DEDUP,
     "dp_redact": SQL_DP_REDACT,
     "dp_lm_perplexity": SQL_DP_LM_PERPLEXITY,
+    "dp_pack_chunks": SQL_DP_PACK_CHUNKS,
+    "dp_pack_manifest": SQL_DP_PACK_MANIFEST,
     "op_decode_avro": SQL_OP_DECODE_AVRO,
     "op_decode_native_proto": SQL_OP_DECODE_NATIVE_PROTO,
     "op_parse_grok_aliases": SQL_OP_PARSE_GROK_ALIASES,
