@@ -107,6 +107,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_span_dedup",
         "dp_redact",
         "dp_lm_perplexity",
+        "dp_pack_chunks",
     ]
     for name in secondary:
         fn = QUERIES[name]

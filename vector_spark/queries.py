@@ -2991,17 +2991,19 @@ QUERIES = {
     "pipe_route_unmatched": _route_keys("_unmatched"),
     "pipe_agg_errors": q_pipe_agg_errors,
     "pipe_agg_all": q_pipe_agg_all,
-    # -- r3-checked stable entries filling the remaining window slots
-    "op_dedupe": q_op_dedupe,
-    "op_cardinality": q_op_cardinality,
+    # r4-rebatched simhash pair (must stay inside the window with
+    # dp_simhash) and the LSH pair path the r4 components queries ride
     "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
     "dp_simhash": q_dp_simhash,
     "dp_simhash_pairs": q_dp_simhash_pairs,
+    # -- r3-checked stable entries filling the remaining window slots
+    "op_dedupe": q_op_dedupe,
+    "op_cardinality": q_op_cardinality,
+    # ---- >50 tail: untouched in r4, all green in CORRECTNESS_r03 ----
     "dp_cosine_near_dup_bucketed": q_dp_cosine_near_dup_bucketed,
     "dp_ann_bucketed": q_dp_ann_bucketed,
     "dp_ann_ivf": q_dp_ann_ivf,
     "op_decode_avro": q_op_decode_avro,
-    # ---- >50 tail: untouched in r4, all green in CORRECTNESS_r03 ----
     "op_decode_native_proto": q_op_decode_native_proto,
     "op_route_kind": q_op_route_kind,
     "op_agg_salted": q_op_agg_salted,
