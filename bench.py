@@ -108,6 +108,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_redact",
         "dp_lm_perplexity",
         "dp_pack_chunks",
+        "dp_curate_corpus",
     ]
     for name in secondary:
         fn = QUERIES[name]

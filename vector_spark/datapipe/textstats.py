@@ -106,9 +106,20 @@ def repetition_signals(
     NULL / empty / whitespace-only text yields n_words = 0 and zeroed
     signals (word_tokens semantics, consistent with token_count).
     """
+    cols = repetition_cols(F.col(text_col), n)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(name) for name, c in cols.items()],
+    )
+
+
+def repetition_cols(col: Column, n: int = 2) -> dict[str, Column]:
+    """The repetition signals as reusable column expressions (name ->
+    Column), so composed pipelines (corpus_pipeline.curate_corpus) can
+    inline them into one projection instead of joining a second scan."""
     from vector_spark.datapipe.dedup import word_ngrams, word_tokens
 
-    words = word_tokens(F.col(text_col))
+    words = word_tokens(col)
     sw = F.sort_array(words)
     run0 = F.struct(
         F.lit("").alias("prev"),
@@ -136,14 +147,13 @@ def repetition_signals(
         / F.greatest(n_grams, F.lit(1)),
         6,
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n_words.alias("n_words"),
-        top_count.cast("bigint").alias("top_word_count"),
-        top_frac.alias("top_word_frac"),
-        dup_frac.alias(f"dup_{n}gram_frac"),
-        ((top_frac > 0.2) | (dup_frac > 0.3)).alias("is_repetitive"),
-    )
+    return {
+        "n_words": n_words,
+        "top_word_count": top_count.cast("bigint"),
+        "top_word_frac": top_frac,
+        f"dup_{n}gram_frac": dup_frac,
+        "is_repetitive": (top_frac > 0.2) | (dup_frac > 0.3),
+    }
 
 
 def split_assign(

@@ -2511,6 +2511,65 @@ FROM documents
 """
 
 
+def q_dp_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 composed curation chain (corpus_pipeline.curate_corpus):
+    redact + repetition + quality in ONE projection, bigram-LM
+    cross-entropy gate, exact dedup on the redacted fingerprint,
+    deterministic split. Full-chain value oracle composed from the
+    same single-source CTEs as the per-operator oracles."""
+    from vector_spark.datapipe.corpus_pipeline import curate_corpus
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return curate_corpus(docs, min_words=5, max_xent=3.43, vocab_size=256)
+
+
+def _sql_dp_curate_corpus() -> str:
+    """Composed oracle: repetition + LM CTEs reused VERBATIM from their
+    per-operator oracles; redaction generated from redact.PII_FILTERS
+    (single source of truth, same as dp_redact)."""
+    from vector_spark.datapipe.redact import PII_FILTERS
+
+    redacted = "text"
+    for _, pattern, marker in PII_FILTERS:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{marker}', 'g')"
+    npii = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for _, p, _ in PII_FILTERS
+    )
+    return f"""
+WITH rep AS ({SQL_DP_REPETITION}),
+lm AS ({SQL_DP_LM_PERPLEXITY}),
+red AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim({redacted})), '\\s+', ' ', 'g'))
+           AS fingerprint,
+         CAST({npii} AS BIGINT) AS n_pii
+  FROM documents),
+gated AS (
+  SELECT rep.doc_id, rep.n_words, rep.top_word_frac, rep.dup_2gram_frac,
+         lm.xent, red.n_pii, red.fingerprint
+  FROM rep JOIN lm USING (doc_id) JOIN red USING (doc_id)
+  WHERE rep.n_words >= 5 AND NOT rep.is_repetitive
+        AND lm.xent IS NOT NULL AND lm.xent <= 3.43),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY fingerprint),
+surv AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(doc_id::VARCHAR || ':split-v1'), 1, 15))
+              AS BIGINT) % 10000 AS bucket
+  FROM surv)
+SELECT s.doc_id,
+       CASE WHEN b.bucket < 9800 THEN 'train'
+            WHEN b.bucket < 9900 THEN 'val'
+            ELSE 'test' END AS split,
+       s.n_words, s.top_word_frac, s.dup_2gram_frac, s.xent, s.n_pii,
+       s.fingerprint
+FROM surv s JOIN b USING (doc_id)
+"""
+
+
+SQL_DP_CURATE_CORPUS = _sql_dp_curate_corpus()
+
+
 def q_dp_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-cleaning pipeline: exact dedup -> MinHash+LSH
     near-dup removal (greedy keep-smaller-id per verified pair) ->
@@ -2952,6 +3011,7 @@ QUERIES = {
     "dp_lm_perplexity": q_dp_lm_perplexity,
     "dp_pack_chunks": q_dp_pack_chunks,
     "dp_pack_manifest": q_dp_pack_manifest,
+    "dp_curate_corpus": q_dp_curate_corpus,
     # -- plan changed in r4 (grok keyvalue signature + root-map merge,
     # dd-search mixed-bracket rejection, vrl decode_percent fallible)
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
@@ -3038,6 +3098,7 @@ ORACLES = {
     "dp_lm_perplexity": SQL_DP_LM_PERPLEXITY,
     "dp_pack_chunks": SQL_DP_PACK_CHUNKS,
     "dp_pack_manifest": SQL_DP_PACK_MANIFEST,
+    "dp_curate_corpus": SQL_DP_CURATE_CORPUS,
     "op_decode_avro": SQL_OP_DECODE_AVRO,
     "op_decode_native_proto": SQL_OP_DECODE_NATIVE_PROTO,
     "op_parse_grok_aliases": SQL_OP_PARSE_GROK_ALIASES,
