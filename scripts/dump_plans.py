@@ -156,6 +156,14 @@ def main() -> None:
         "Bigram-LM perplexity, persisted model + broadcast joins (dp_lm_perplexity)",
         QUERIES["dp_lm_perplexity"](spark, sf_dir),
     )
+    add(
+        "Context-window packing, two-phase weighted prefix sum (dp_pack_chunks)",
+        QUERIES["dp_pack_chunks"](spark, sf_dir),
+    )
+    add(
+        "Composed curation chain, one-projection signals + LM gate (dp_curate_corpus)",
+        QUERIES["dp_curate_corpus"](spark, sf_dir),
+    )
 
     md = [
         "# PLANS — physical plans of the flagship paths\n",
@@ -194,7 +202,11 @@ def main() -> None:
         "materialization each and the corpus crosses exactly 3",
         "map-side-combinable shuffles (unigram count, bigram count,",
         "per-doc score aggregate); vocab/context joins are explicit",
-        "broadcasts, the bigram-model join is AQE-sized.\n",
+        "broadcasts, the bigram-model join is AQE-sized. The same",
+        "static-count caveat applies to the curate chain, which embeds",
+        "the LM: its runtime corpus-scale data movement is the LM's 3",
+        "shuffles + the doc-keyed signal/LM join + ONE fingerprint",
+        "keep-first window (profiled additive in BENCH.md).\n",
     ]
     for title, plan, simple in sections:
         md.append(f"\n## {title}\n")
