@@ -79,6 +79,32 @@ def test_manifest_reconstruction_properties(spark):
         assert fill == ctx or cid == last
 
 
+def test_shuffled_order_is_a_permutation_of_the_stream(spark):
+    from vector_spark.datapipe.packing import shuffle_order
+
+    texts = [("x " * ((i * 3) % 9 + 1)).strip() for i in range(60)]
+    plain = {r["doc_id"]: r for r in pack_chunks(_docs(spark, texts), 16).collect()}
+    shuf = {
+        r["doc_id"]: r
+        for r in pack_chunks(_docs(spark, texts), 16, order_by=shuffle_order()).collect()
+    }
+    # same documents, same token counts, same TOTAL stream length ->
+    # same final chunk id; only the order (start_off) changes
+    assert {k: v["n_tok"] for k, v in plain.items()} == {
+        k: v["n_tok"] for k, v in shuf.items()
+    }
+    assert max(v["chunk_end"] for v in plain.values()) == max(
+        v["chunk_end"] for v in shuf.values()
+    )
+    assert any(plain[k]["start_off"] != shuf[k]["start_off"] for k in plain)
+    # rerun-stable: the shuffle key is deterministic
+    shuf2 = {
+        r["doc_id"]: r["start_off"]
+        for r in pack_chunks(_docs(spark, texts), 16, order_by=shuffle_order()).collect()
+    }
+    assert shuf2 == {k: v["start_off"] for k, v in shuf.items()}
+
+
 def test_plan_has_no_single_partition_corpus_exchange(spark):
     # The only SinglePartition exchange allowed is on the
     # O(#partitions)-row offsets table, never on the doc stream.

@@ -45,7 +45,21 @@ _PID = "_pk_pid"
 _LOC = "_pk_loc"
 _CNT = "_pk_cnt"
 _OFF = "_pk_off"
+_ORD = "_pk_ord"
 _LOW33 = (1 << 33) - 1
+
+
+def shuffle_order(id_col: str = "doc_id", salt: str = "pack-shuffle-v1"):
+    """Deterministic corpus-shuffle key — the 'shuffle before packing'
+    step every pretraining ingest runs, as a portable md5-derived
+    bigint of (id, salt): reproducible across runs, cluster sizes and
+    engines (DuckDB mirrors it), independent of the split/sample
+    hashes (own salt). Pass as ``order_by=`` to :func:`pack_chunks`."""
+    from vector_spark.functions.hashes import hex_prefix_to_long
+
+    return hex_prefix_to_long(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    )
 
 
 def pack_chunks(
@@ -53,10 +67,14 @@ def pack_chunks(
     ctx_len: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order_by=None,
 ) -> DataFrame:
     """Assign every document its global token offset and the context
-    windows it occupies under concat-and-chunk packing in ``id_col``
-    order. Zero-token documents carry NULL chunk bounds (they
+    windows it occupies under concat-and-chunk packing. Documents are
+    concatenated in ``order_by`` order (a Column expression; ties break
+    on ``id_col``) — default is plain ``id_col`` order; pass
+    :func:`shuffle_order` for the deterministic pre-packing corpus
+    shuffle. Zero-token documents carry NULL chunk bounds (they
     contribute nothing to the stream)."""
     if ctx_len <= 0:
         raise ValueError("ctx_len must be positive")
@@ -66,10 +84,11 @@ def pack_chunks(
         # coalesce: token_count propagates NULL text as NULL; a NULL
         # doc contributes zero tokens to the stream like an empty one
         F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("n_tok"),
+        (order_by if order_by is not None else F.col(id_col)).alias(_ORD),
     )
     part = (
-        compact.repartitionByRange("doc_id")
-        .sortWithinPartitions("doc_id")
+        compact.repartitionByRange(_ORD, "doc_id")
+        .sortWithinPartitions(_ORD, "doc_id")
         .withColumn(_MID, F.monotonically_increasing_id())
         .withColumn(_PID, F.shiftright(F.col(_MID), 33))
         .drop(_MID)
@@ -77,7 +96,7 @@ def pack_chunks(
     # local running sum of tokens BEFORE this doc, within the physical
     # partition: the window's hash(_PID) exchange maps each range
     # partition to one reducer and moves only (doc_id, n_tok) pairs.
-    w_loc = Window.partitionBy(_PID).orderBy("doc_id").rowsBetween(
+    w_loc = Window.partitionBy(_PID).orderBy(_ORD, "doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
     local = part.withColumn(_LOC, F.coalesce(F.sum("n_tok").over(w_loc), F.lit(0)))
@@ -114,6 +133,7 @@ def chunk_manifest(
     ctx_len: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    order_by=None,
 ) -> DataFrame:
     """Per-(chunk, doc) slice table: which token span of each context
     window each document fills — ``(chunk_id, doc_id, tok_from,
@@ -122,7 +142,9 @@ def chunk_manifest(
     reconstructs window ``c`` by concatenating its rows in ``doc_id``
     order. The explode is bounded: a document emits
     ``ceil(n_tok / ctx_len) + 1`` rows at most."""
-    packed = pack_chunks(df, ctx_len, text_col=text_col, id_col=id_col)
+    packed = pack_chunks(
+        df, ctx_len, text_col=text_col, id_col=id_col, order_by=order_by
+    )
     exploded = packed.filter(F.col("n_tok") > 0).select(
         "doc_id",
         "n_tok",

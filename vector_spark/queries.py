@@ -1334,6 +1334,43 @@ SELECT doc_id, n_tok, start_off,
 FROM c
 """
 
+def q_dp_pack_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing in DETERMINISTIC SHUFFLED order (packing.shuffle_order):
+    the 'shuffle the corpus, then pack' pretraining flow. The order key
+    is the portable md5-derived bigint (own salt), so the oracle
+    reproduces the exact same permutation."""
+    from vector_spark.datapipe.packing import pack_chunks, shuffle_order
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return pack_chunks(docs, ctx_len=512, order_by=shuffle_order())
+
+
+SQL_DP_PACK_SHUFFLED = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+         CAST(concat('0x',
+              substr(md5(doc_id::VARCHAR || ':pack-shuffle-v1'), 1, 15))
+           AS BIGINT) AS ord
+  FROM documents),
+c AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+              ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_off
+  FROM d)
+SELECT doc_id, n_tok, start_off,
+       CASE WHEN n_tok > 0 THEN start_off // 512 END AS chunk_start,
+       CASE WHEN n_tok > 0 THEN (start_off + n_tok - 1) // 512 END AS chunk_end,
+       CAST(CASE WHEN n_tok > 0
+                 THEN (start_off + n_tok - 1) // 512 - start_off // 512 + 1
+                 ELSE 0 END AS BIGINT) AS n_chunks
+FROM c
+"""
+
+
 SQL_DP_PACK_MANIFEST = _SQL_PACK_CHUNKS_CTE + """
 , m AS (
   SELECT doc_id, n_tok, start_off,
@@ -3011,6 +3048,7 @@ QUERIES = {
     "dp_lm_perplexity": q_dp_lm_perplexity,
     "dp_pack_chunks": q_dp_pack_chunks,
     "dp_pack_manifest": q_dp_pack_manifest,
+    "dp_pack_shuffled": q_dp_pack_shuffled,
     "dp_curate_corpus": q_dp_curate_corpus,
     # -- plan changed in r4 (grok keyvalue signature + root-map merge,
     # dd-search mixed-bracket rejection, vrl decode_percent fallible)
@@ -3050,16 +3088,17 @@ QUERIES = {
     "pipe_route_slow": _route_keys("slow"),
     "pipe_route_unmatched": _route_keys("_unmatched"),
     "pipe_agg_errors": q_pipe_agg_errors,
-    "pipe_agg_all": q_pipe_agg_all,
     # r4-rebatched simhash pair (must stay inside the window with
     # dp_simhash) and the LSH pair path the r4 components queries ride
     "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
     "dp_simhash": q_dp_simhash,
     "dp_simhash_pairs": q_dp_simhash_pairs,
-    # -- r3-checked stable entries filling the remaining window slots
+    # ---- >50 tail: r3-green evidence, value-checked every CI run ----
+    # pipe_agg_all: same parse lineage as pipe_agg_errors (in-window),
+    # differs only by the sink filter — the least-information drop
+    "pipe_agg_all": q_pipe_agg_all,
     "op_dedupe": q_op_dedupe,
     "op_cardinality": q_op_cardinality,
-    # ---- >50 tail: untouched in r4, all green in CORRECTNESS_r03 ----
     "dp_cosine_near_dup_bucketed": q_dp_cosine_near_dup_bucketed,
     "dp_ann_bucketed": q_dp_ann_bucketed,
     "dp_ann_ivf": q_dp_ann_ivf,
@@ -3098,6 +3137,7 @@ ORACLES = {
     "dp_lm_perplexity": SQL_DP_LM_PERPLEXITY,
     "dp_pack_chunks": SQL_DP_PACK_CHUNKS,
     "dp_pack_manifest": SQL_DP_PACK_MANIFEST,
+    "dp_pack_shuffled": SQL_DP_PACK_SHUFFLED,
     "dp_curate_corpus": SQL_DP_CURATE_CORPUS,
     "op_decode_avro": SQL_OP_DECODE_AVRO,
     "op_decode_native_proto": SQL_OP_DECODE_NATIVE_PROTO,
