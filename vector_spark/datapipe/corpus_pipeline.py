@@ -101,10 +101,10 @@ def curate_corpus(
 
     100 TB design: the signal block is a single projection (no
     self-join of the scan — `repetition_cols` inlines what
-    `repetition_signals` would compute in a second pass); the LM join,
-    dedup groupBy and nothing else shuffle doc-scale data, all keyed
-    on doc_id/fingerprint (AQE-balanced); split assignment is the
-    zero-shuffle portable hash.
+    `repetition_signals` would compute in a second pass); the LM join
+    and the fingerprint keep-first window are the only doc-scale
+    shuffles, keyed on doc_id/fingerprint (AQE-balanced); split
+    assignment is the zero-shuffle portable hash.
     """
     from vector_spark.datapipe.lm_quality import lm_score
     from vector_spark.datapipe.redact import pii_counts, redact_text

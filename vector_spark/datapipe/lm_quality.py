@@ -39,7 +39,7 @@ possible):
   (vocabulary-sized, no global sort of the corpus);
 - the context-count table is derived from the BIGRAM counts
   (vocabulary-sized input), not a corpus rescan;
-- V and the model tables ride along as broadcasts: vocab and unigrams
+- V and the model tables ride along as broadcasts: vocab and contexts
   are at most ``vocab_size + 1`` rows (explicit ``F.broadcast``); the
   bigram table is corpus-bounded and left to AQE (broadcast when it
   fits, key-partitioned equi-join when it does not);

@@ -139,9 +139,11 @@ def chunk_manifest(
     window each document fills — ``(chunk_id, doc_id, tok_from,
     tok_to, n_tok_in_chunk)`` with ``tok_from``/``tok_to`` positions
     WITHIN the chunk (0-based, ``tok_to`` exclusive). A dataloader
-    reconstructs window ``c`` by concatenating its rows in ``doc_id``
-    order. The explode is bounded: a document emits
-    ``ceil(n_tok / ctx_len) + 1`` rows at most."""
+    reconstructs window ``c`` by concatenating its rows in ``tok_from``
+    order (the slices tile the chunk disjointly, so ``tok_from`` IS the
+    packing order — valid for any ``order_by``). The explode is
+    bounded: a document emits ``ceil(n_tok / ctx_len) + 1`` rows at
+    most."""
     packed = pack_chunks(
         df, ctx_len, text_col=text_col, id_col=id_col, order_by=order_by
     )
