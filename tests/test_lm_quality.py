@@ -84,6 +84,23 @@ def test_hand_computed_logprob(spark):
     assert out["xent"] == pytest.approx(round(-expect / 2, 6), abs=1e-9)
 
 
+def test_heldout_unseen_context_falls_back_to_uniform(spark):
+    # Train on a corpus whose vocab covers every train token (so the
+    # model has NO <unk> mass), score a doc of entirely novel tokens:
+    # every pair maps to (<unk>, <unk>), ctx(<unk>) = 0, and each
+    # bigram scores exactly the uniform ln(1/V) = -ln(vocab+1).
+    train = _docs(spark, ["a b a b c", "b c a a b"])
+    score = spark.createDataFrame(
+        [(0, "zz yy xx ww")], "doc_id long, text string"
+    )
+    out = lm_score(score, vocab_size=3, train_df=train).first()
+    v = 4  # |{a,b,c}| + unk
+    per_pair = round(math.log(1.0 / v), 6)
+    assert out["n_bigrams"] == 3
+    assert out["logprob_sum"] == pytest.approx(3 * per_pair, abs=1e-9)
+    assert out["xent"] == pytest.approx(round(-per_pair, 6), abs=1e-9)
+
+
 def test_partition_invariance_of_decimal_sum(spark):
     # The 6dp-round-then-DECIMAL-sum makes logprob_sum independent of
     # partitioning (double summation would not be).

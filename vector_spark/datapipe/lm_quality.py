@@ -156,11 +156,14 @@ def lm_score(
     id_col: str = "doc_id",
     vocab_size: int = 512,
     add_k: float = 1.0,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-document bigram-LM cross-entropy over a model trained on
-    the SAME corpus (the self-scoring form a quality filter uses; to
-    score against a held-out reference corpus, train on that corpus
-    and join these stages yourself).
+    """Per-document bigram-LM cross-entropy. By default the model is
+    trained on the SAME corpus (self-scoring); pass ``train_df`` to
+    train on a reference corpus instead — the CCNet setup, where a
+    clean-corpus LM scores candidate documents and high perplexity
+    means "unlike the reference". ``train_df`` must carry the same
+    ``text_col``.
 
     Output: ``(doc_id, n_tokens, n_bigrams, logprob_sum, xent)`` —
     ``xent`` in nats/token, NULL for documents with < 2 tokens
@@ -168,7 +171,9 @@ def lm_score(
     6-dp-rounded per-bigram ``ln P``, surfaced as double.
     """
     vocab, contexts, bigrams, vsize = train_bigram_lm(
-        df, text_col=text_col, vocab_size=vocab_size
+        train_df if train_df is not None else df,
+        text_col=text_col,
+        vocab_size=vocab_size,
     )
 
     docs = df.select(

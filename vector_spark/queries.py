@@ -1238,40 +1238,54 @@ def q_dp_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DP_LM_PERPLEXITY = """
-WITH toks AS (
-  SELECT doc_id,
-         CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
-              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS a
-  FROM documents),
+def _sql_lm(train_where: str = "TRUE", score_where: str = "TRUE") -> str:
+    """Oracle generator for the bigram LM: the model (vocab, context
+    counts, bigram counts) trains on `train_where` rows, scoring runs
+    on `score_where` rows. With both TRUE this is the self-scoring
+    form (and both dp_lm queries share ONE source of truth)."""
+    toks = (
+        "SELECT doc_id,\n"
+        "       CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]\n"
+        "            ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS a\n"
+        "FROM documents WHERE {w}"
+    )
+    pos = (
+        "SELECT doc_id, len(a) AS n_tokens,\n"
+        "       unnest(a) AS tok, unnest(range(1, len(a) + 1)) AS p\n"
+        "FROM {src}"
+    )
+    pairs = (
+        "SELECT a.doc_id, a.n_tokens,\n"
+        "       CASE WHEN vp.term IS NULL THEN '<unk>' ELSE a.tok END AS prev,\n"
+        "       CASE WHEN vc.term IS NULL THEN '<unk>' ELSE b.tok END AS cur\n"
+        "FROM {pos} a\n"
+        "JOIN {pos} b ON a.doc_id = b.doc_id AND b.p = a.p + 1\n"
+        "LEFT JOIN vocab vp ON vp.term = a.tok\n"
+        "LEFT JOIN vocab vc ON vc.term = b.tok"
+    )
+    return f"""
+WITH tr_toks AS ({toks.format(w=train_where)}),
+sc_toks AS ({toks.format(w=score_where)}),
 uni_raw AS (
   SELECT term, count(*) AS n
-  FROM (SELECT unnest(a) AS term FROM toks) GROUP BY 1),
+  FROM (SELECT unnest(a) AS term FROM tr_toks) GROUP BY 1),
 vocab AS (
   SELECT term FROM uni_raw ORDER BY n DESC, term LIMIT 256),
 vsize AS (SELECT count(*) + 1 AS vsize FROM vocab),
-pos AS (
-  SELECT doc_id, len(a) AS n_tokens,
-         unnest(a) AS tok, unnest(range(1, len(a) + 1)) AS p
-  FROM toks),
-pairs AS (
-  SELECT a.doc_id, a.n_tokens,
-         CASE WHEN vp.term IS NULL THEN '<unk>' ELSE a.tok END AS prev,
-         CASE WHEN vc.term IS NULL THEN '<unk>' ELSE b.tok END AS cur
-  FROM pos a
-  JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-  LEFT JOIN vocab vp ON vp.term = a.tok
-  LEFT JOIN vocab vc ON vc.term = b.tok),
+tr_pos AS ({pos.format(src="tr_toks")}),
+tr_pairs AS ({pairs.format(pos="tr_pos")}),
+sc_pos AS ({pos.format(src="sc_toks")}),
+sc_pairs AS ({pairs.format(pos="sc_pos")}),
 scored AS (
   SELECT p.doc_id, p.n_tokens,
          CAST(round(ln((coalesce(bi.c_bi, 0) + 1.0)
                        / (coalesce(cx.c_ctx, 0) + 1.0 * vs.vsize)), 6)
               AS DECIMAL(12,6)) AS logp
-  FROM pairs p
+  FROM sc_pairs p
   LEFT JOIN (SELECT prev, count(*) AS c_ctx
-             FROM pairs GROUP BY 1) cx ON cx.prev = p.prev
+             FROM tr_pairs GROUP BY 1) cx ON cx.prev = p.prev
   LEFT JOIN (SELECT prev, cur, count(*) AS c_bi
-             FROM pairs GROUP BY 1, 2) bi
+             FROM tr_pairs GROUP BY 1, 2) bi
          ON bi.prev = p.prev AND bi.cur = p.cur
   CROSS JOIN vsize vs),
 agg AS (
@@ -1283,10 +1297,34 @@ agg AS (
 SELECT t.doc_id, CAST(t2.n_tokens AS BIGINT) AS n_tokens,
        coalesce(a.n_bigrams, 0) AS n_bigrams,
        a.logprob_sum, a.xent
-FROM toks t
-JOIN (SELECT doc_id, len(a) AS n_tokens FROM toks) t2 USING (doc_id)
+FROM sc_toks t
+JOIN (SELECT doc_id, len(a) AS n_tokens FROM sc_toks) t2 USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
 """
+
+
+SQL_DP_LM_PERPLEXITY = _sql_lm()
+
+
+def q_dp_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM scoring — the CCNet quality-filter setup: the model
+    trains on the 'reference' 90% of the corpus (doc_id % 10 != 0) and
+    scores the held-out 10%, so every scored bigram is genuinely
+    out-of-sample (unseen contexts fall back to the uniform ln(1/V))."""
+    from vector_spark.datapipe.lm_quality import lm_score
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return lm_score(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        vocab_size=256,
+        add_k=1.0,
+        train_df=docs.filter(F.col("doc_id") % 10 != 0),
+    ).select("doc_id", "n_tokens", "n_bigrams", "logprob_sum", "xent")
+
+
+SQL_DP_LM_HELDOUT = _sql_lm(
+    train_where="doc_id % 10 <> 0", score_where="doc_id % 10 = 0"
+)
 
 
 def q_dp_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3046,6 +3084,7 @@ QUERIES = {
     "dp_span_dedup": q_dp_span_dedup,
     "dp_redact": q_dp_redact,
     "dp_lm_perplexity": q_dp_lm_perplexity,
+    "dp_lm_heldout": q_dp_lm_heldout,
     "dp_pack_chunks": q_dp_pack_chunks,
     "dp_pack_manifest": q_dp_pack_manifest,
     "dp_pack_shuffled": q_dp_pack_shuffled,
@@ -3085,7 +3124,6 @@ QUERIES = {
     "pipe_enrich_tools": q_pipe_enrich_tools,
     "pipe_route_errors": _route_keys("errors"),
     "pipe_route_tool_calls": _route_keys("tool_calls"),
-    "pipe_route_slow": _route_keys("slow"),
     "pipe_route_unmatched": _route_keys("_unmatched"),
     "pipe_agg_errors": q_pipe_agg_errors,
     # r4-rebatched simhash pair (must stay inside the window with
@@ -3094,9 +3132,12 @@ QUERIES = {
     "dp_simhash": q_dp_simhash,
     "dp_simhash_pairs": q_dp_simhash_pairs,
     # ---- >50 tail: r3-green evidence, value-checked every CI run ----
-    # pipe_agg_all: same parse lineage as pipe_agg_errors (in-window),
-    # differs only by the sink filter — the least-information drop
+    # pipe_agg_all / pipe_route_slow: same parse lineage as the
+    # in-window pipe_agg_errors / pipe_route_{errors,tool_calls,
+    # unmatched}, differing only by sink filter — least-information
+    # drops when new r4 queries need window slots
     "pipe_agg_all": q_pipe_agg_all,
+    "pipe_route_slow": _route_keys("slow"),
     "op_dedupe": q_op_dedupe,
     "op_cardinality": q_op_cardinality,
     "dp_cosine_near_dup_bucketed": q_dp_cosine_near_dup_bucketed,
@@ -3135,6 +3176,7 @@ ORACLES = {
     "dp_span_dedup": SQL_DP_SPAN_DEDUP,
     "dp_redact": SQL_DP_REDACT,
     "dp_lm_perplexity": SQL_DP_LM_PERPLEXITY,
+    "dp_lm_heldout": SQL_DP_LM_HELDOUT,
     "dp_pack_chunks": SQL_DP_PACK_CHUNKS,
     "dp_pack_manifest": SQL_DP_PACK_MANIFEST,
     "dp_pack_shuffled": SQL_DP_PACK_SHUFFLED,
