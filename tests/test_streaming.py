@@ -108,6 +108,78 @@ def test_stream_pipeline_matches_batch_fused(spark, stream_source, tmp_path):
     assert got.equals(batch)
 
 
+def test_stream_sketch_agg_matches_batch(spark, tmp_path):
+    """Streaming DDSketch (chained time-window aggregations, append
+    mode) == batch sketch_agg per (window, group) on bounded input.
+    Append emits a window only after the watermark passes it, so a
+    far-future sentinel file + a second availableNow run (same
+    checkpoint) flushes every real window through BOTH chained
+    stateful operators."""
+    import pandas as pd
+
+    from vector_spark.operators.ddsketch import sketch_agg
+    from vector_spark.streaming.stream_ops import stream_sketch_agg
+
+    schema = "ts timestamp, role string, value double"
+    src = tmp_path / "in"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (base + pd.Timedelta(minutes=(i * 7) % 25), ["user", "tool"][i % 2], float((i * 13) % 97) + 0.5)
+        for i in range(60)
+    ]
+    spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "role", "value"]), schema
+                          ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).parquet(str(src))
+        out = stream_sketch_agg(sdf, "10 minutes", ["role"], "value",
+                                watermark="1 minute")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    for hours in (2, 4):  # sentinels advance the watermark through both levels
+        sent = [(base + pd.Timedelta(hours=hours), "user", 1.0)]
+        spark.createDataFrame(pd.DataFrame(sent, columns=["ts", "role", "value"]), schema
+                              ).coalesce(1).write.mode("append").parquet(str(src))
+        run_once()
+
+    got = (
+        spark.read.schema(
+            "window_start timestamp, role string, keys array<int>, "
+            "counts array<bigint>, count bigint, min double, max double, "
+            "sum double, avg double"
+        )
+        .parquet(str(tmp_path / "sink"))
+        .filter(F.col("window_start") < F.lit("2024-01-01 01:00:00"))
+    ).toPandas()
+
+    batch_in = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "role", "value"]), schema)
+    batch = sketch_agg(
+        batch_in.withColumn("window_start", F.window("ts", "10 minutes")["start"]),
+        ["window_start", "role"], "value",
+    ).toPandas()
+
+    key = ["window_start", "role"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)[list(got.columns)]
+    assert len(got) == len(batch) > 0
+    for c in ("count", "min", "max", "avg"):
+        assert (got[c] == batch[c]).all(), c
+    for a, b in zip(got["keys"], batch["keys"]):
+        assert list(a) == list(b)
+    for a, b in zip(got["counts"], batch["counts"]):
+        assert list(a) == list(b)
+
+
 def test_stream_kill_restart_exactly_once(spark, tmp_path):
     """Ack-then-commit, streaming side: a query killed mid-stream
     (stop() between microbatches, maxFilesPerTrigger=1) and restarted

@@ -9,6 +9,7 @@ watermarks (Vector analogues noted per function):
   reduce's expire_after_ms      -> session_window(gap) + watermark
   aggregate's flush interval_ms -> tumbling window + watermark
   throttle's GCRA token bucket  -> applyInPandasWithState
+  Sketch metric (AgentDDSketch) -> chained time-window aggregations
 
 All functions accept a streaming DataFrame (spark.readStream...) and
 return a transformed streaming DataFrame; run them with
@@ -183,6 +184,74 @@ def stream_set_merge(
             F.col("window.end").alias("window_end"),
             *series_cols,
             values_col,
+        )
+    )
+
+
+def stream_sketch_agg(
+    df: DataFrame,
+    interval: str,
+    group_cols: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming AgentDDSketch per (event-time window, group) — the
+    Sketch metric value (value.rs:140-193) under aggregate's flush
+    window, unbounded-stream form of `operators.ddsketch.sketch_agg`.
+
+    The batch op is a TWO-level aggregation (per-bin partials, then
+    per-group bin collect), which Structured Streaming forbids as
+    stacked aggs — EXCEPT as chained time-window aggregations (Spark
+    >= 3.4 multiple stateful operators, append mode): level 1 groups
+    by (window(ts), group, bin-key) — state bounded by the sketch
+    contract (<= ~4096 bins per group per window), exactly the bound
+    that makes DDSketch a sketch — and level 2 re-aggregates ON THE
+    WINDOW COLUMN, collecting the finalized bins after the watermark
+    closes each window. Pure JVM (the same `sketch_key` / `_trim`
+    expressions as batch), no Python state.
+
+    Append-only: a window's sketch emits once the watermark passes its
+    end (same contract as the reference's interval flush).
+    """
+    from vector_spark.operators.ddsketch import SKETCH_COLS, _trim, sketch_key
+
+    vals = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(ts_col),
+            *group_cols,
+            F.col(value_col).cast("double").alias("__v"),
+            sketch_key(F.col(value_col).cast("double")).alias("__k"),
+        )
+        .withWatermark(ts_col, watermark)
+    )
+    per_key = vals.groupBy(
+        F.window(F.col(ts_col), interval), *group_cols, "__k"
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+        F.sum("__v").alias("__sm"),
+    )
+    agged = per_key.groupBy(F.window(F.col("window"), interval), *group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("__k", "__n"))).alias("__bins"),
+        F.sum("__n").alias("count"),
+        F.min("__mn").alias("min"),
+        F.max("__mx").alias("max"),
+        F.sum("__sm").alias("sum"),
+    )
+    keys = F.transform(F.col("__bins"), lambda b: b["__k"])
+    counts = F.transform(F.col("__bins"), lambda b: b["__n"])
+    tk, tc = _trim(keys, counts)
+    return (
+        agged.withColumn("keys", tk)
+        .withColumn("counts", tc)
+        .withColumn("avg", F.col("sum") / F.col("count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *group_cols,
+            *SKETCH_COLS,
         )
     )
 
