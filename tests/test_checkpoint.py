@@ -174,3 +174,62 @@ def test_incremental_file_source_appends(spark, tmp_path):
     commit_entries(ckpt, entries2)
     df3, entries3 = incremental_files(spark, str(d), ckpt)
     assert df3 is None and entries3 == []
+
+
+def test_append_to_small_file_resumes_not_rereads(spark, tmp_path):
+    """An append to a file SMALLER than the fingerprint window must be
+    classified as an append (offset resume), not a rewrite: the
+    fingerprint comparison is pinned to the committed prefix length
+    (fp_len in the manifest), so the new bytes don't change it."""
+    from vector_spark.plans.checkpoint import CheckpointManager
+    from vector_spark.sources.file_tail import commit_entries, incremental_files
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "small.log").write_text("tiny-1\n")  # 7 bytes << 256
+    ckpt = CheckpointManager(str(tmp_path / "manifest"))
+    df, entries = incremental_files(spark, str(d), ckpt)
+    assert [r.value for r in df.collect()] == ["tiny-1"]
+    commit_entries(ckpt, entries)
+
+    with open(d / "small.log", "a") as fh:
+        fh.write("tiny-2\n")
+    df2, entries2 = incremental_files(spark, str(d), ckpt)
+    assert len(entries2) == 1 and entries2[0].offset == 7  # append, not rewrite
+    assert [r.value for r in df2.collect()] == ["tiny-2"]  # no duplicate tiny-1
+    commit_entries(ckpt, entries2)
+
+    # a REWRITE within the committed prefix is still detected
+    (d / "small.log").write_text("other-1\nother-2\n")
+    df3, entries3 = incremental_files(spark, str(d), ckpt)
+    assert len(entries3) == 1 and entries3[0].offset == 0
+    assert sorted(r.value for r in df3.collect()) == ["other-1", "other-2"]
+
+
+def test_read_capped_at_discovery_size(spark, tmp_path):
+    """Bytes appended AFTER discovery are neither emitted nor
+    committed this pass — they arrive exactly once on the next pass
+    (the concurrent-appender idempotence contract)."""
+    from vector_spark.plans.checkpoint import CheckpointManager
+    from vector_spark.sources.file_tail import (
+        commit_entries,
+        discover_new_files,
+        _read_capped,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "live.log").write_text("first\n")
+    ckpt = CheckpointManager(str(tmp_path / "manifest"))
+    entries = discover_new_files(str(d), ckpt)
+    # appender races in between discovery and the read
+    with open(d / "live.log", "a") as fh:
+        fh.write("racy-late-line\n")
+    got = [r.value for r in _read_capped(spark, entries).collect()]
+    assert got == ["first"]  # capped at discovery size
+    commit_entries(ckpt, entries)
+    # next pass picks the raced bytes up exactly once, as an append
+    entries2 = discover_new_files(str(d), ckpt)
+    assert len(entries2) == 1 and entries2[0].offset == 6
+    got2 = [r.value for r in _read_capped(spark, entries2).collect()]
+    assert got2 == ["racy-late-line"]

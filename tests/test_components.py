@@ -101,6 +101,35 @@ def test_dedup_keep_best_quality_then_id(spark):
     assert kept == ["d2", "d4"]
 
 
+def test_dedup_keep_best_null_quality_ranks_worst(spark):
+    # A NULL quality must never be crowned the survivor (Spark's
+    # struct ordering would otherwise sort NULL before every number).
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [("d1", None), ("d2", 5.0), ("d3", 3.0)],
+        "doc_id string, score double",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3")], "id_a string, id_b string"
+    )
+    kept = [
+        r["doc_id"]
+        for r in dedup_keep_best(docs, pairs, quality_col=F.col("score")).collect()
+    ]
+    assert kept == ["d2"]
+    # all-NULL group: falls back to min id, still exactly one survivor
+    docs2 = spark.createDataFrame(
+        [("d1", None), ("d2", None)], "doc_id string, score double"
+    )
+    pairs2 = spark.createDataFrame([("d1", "d2")], "id_a string, id_b string")
+    kept2 = [
+        r["doc_id"]
+        for r in dedup_keep_best(docs2, pairs2, quality_col=F.col("score")).collect()
+    ]
+    assert kept2 == ["d1"]
+
+
 def test_transitive_closure_beyond_direct_pairs(spark):
     # a~b and b~c but never a~c: one group of three
     docs = spark.createDataFrame(

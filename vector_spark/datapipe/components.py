@@ -177,9 +177,14 @@ def dedup_keep_best(
     """
     if quality_col is None:
         quality_col = F.length("text")
+    # NULL quality ranks WORST, not best: Spark's ascending struct
+    # ordering puts a NULL first field before every number, so an
+    # un-coalesced min_by(-__q, id) would crown a NULL-quality doc the
+    # group's canonical survivor (and diverge from the SQL oracle's
+    # ORDER BY ... DESC NULLS LAST).
     grouped = docs.join(
         dup_groups(docs, pairs, id_col, src, dst), id_col
-    ).withColumn("__q", quality_col)
+    ).withColumn("__q", F.coalesce(quality_col.cast("double"), F.lit(float("-inf"))))
     # max_by on (quality asc, id desc) struct: higher quality wins,
     # then LOWER id (invert id ordering via a negated rank? strings
     # can't negate — use min_by on (-quality, id)).

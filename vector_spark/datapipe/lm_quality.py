@@ -109,16 +109,19 @@ def train_bigram_lm(
 
     # Model-table lineage is REUSED many times downstream (the vocab
     # joins appear on both training and scoring sides). Persist the
-    # two small tables so the corpus is scanned once per count pass,
-    # not once per use — in production these would be written out and
-    # reloaded; persist() is the single-plan equivalent. Both are
-    # aggregation outputs (vocabulary-sized), MEMORY_AND_DISK so a
-    # huge vocabulary spills instead of evicting.
+    # REUSED tables — vocab (~6 consumers) and bigrams (contexts +
+    # the scoring join) — so the corpus is scanned once per count
+    # pass, not once per use; uni_raw has exactly ONE consumer (the
+    # vocab cut) and is deliberately NOT persisted. In production the
+    # model would be written out and reloaded; persist() is the
+    # single-plan equivalent, and the cached tables live until the
+    # session evicts them (callers running many models per session
+    # can spark.catalog.clearCache() between runs). MEMORY_AND_DISK
+    # so a huge vocabulary spills instead of evicting.
     uni_raw = (
         toks.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vocab = (
         uni_raw.orderBy(F.col("n").desc(), F.col("term"))

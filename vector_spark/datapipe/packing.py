@@ -51,15 +51,14 @@ _LOW33 = (1 << 33) - 1
 
 def shuffle_order(id_col: str = "doc_id", salt: str = "pack-shuffle-v1"):
     """Deterministic corpus-shuffle key — the 'shuffle before packing'
-    step every pretraining ingest runs, as a portable md5-derived
-    bigint of (id, salt): reproducible across runs, cluster sizes and
-    engines (DuckDB mirrors it), independent of the split/sample
-    hashes (own salt). Pass as ``order_by=`` to :func:`pack_chunks`."""
-    from vector_spark.functions.hashes import hex_prefix_to_long
+    step every pretraining ingest runs, as the shared portable
+    md5-derived bigint of (id, salt) (`hashes.salted_long`):
+    reproducible across runs, cluster sizes and engines (DuckDB
+    mirrors it), independent of the split/sample hashes (own salt).
+    Pass as ``order_by=`` to :func:`pack_chunks`."""
+    from vector_spark.functions.hashes import salted_long
 
-    return hex_prefix_to_long(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
-    )
+    return salted_long(id_col, salt)
 
 
 def pack_chunks(
@@ -108,23 +107,30 @@ def pack_chunks(
     )
 
     start = (F.coalesce(F.col(_OFF), F.lit(0)) + F.col(_LOC)).cast("bigint")
-    end = start + F.col("n_tok")
+    based = local.join(F.broadcast(offsets), _PID, "left").select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        start.alias("start_off"),
+    )
+    # integer `div`, NOT floor(double /): a double round-trips token
+    # offsets exactly only below 2^53 — float division would silently
+    # mis-bin past ~9e15 tokens while the oracle's integer `//` would
+    # not. All operands are non-negative, so div == floor division.
     has_tok = F.col("n_tok") > 0
-    chunk_start = F.when(has_tok, F.floor(start / ctx_len)).cast("bigint")
-    chunk_end = F.when(has_tok, F.floor((end - 1) / ctx_len)).cast("bigint")
-    return (
-        local.join(F.broadcast(offsets), _PID, "left")
-        .select(
-            "doc_id",
-            F.col("n_tok").cast("bigint").alias("n_tok"),
-            start.alias("start_off"),
-            chunk_start.alias("chunk_start"),
-            chunk_end.alias("chunk_end"),
-            F.when(has_tok, chunk_end - chunk_start + 1)
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            .alias("n_chunks"),
-        )
+    chunk_start = F.when(has_tok, F.expr(f"start_off div {int(ctx_len)}"))
+    chunk_end = F.when(
+        has_tok, F.expr(f"(start_off + n_tok - 1) div {int(ctx_len)}")
+    )
+    return based.select(
+        "doc_id",
+        "n_tok",
+        "start_off",
+        chunk_start.cast("bigint").alias("chunk_start"),
+        chunk_end.cast("bigint").alias("chunk_end"),
+        F.when(has_tok, chunk_end - chunk_start + 1)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_chunks"),
     )
 
 

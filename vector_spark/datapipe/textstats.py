@@ -172,17 +172,12 @@ def split_assign(
     100 TB design: one projection — no shuffle, no sampling pass; the
     split column composes with any scan/filter at scan speed.
     """
-    from vector_spark.functions.hashes import hex_prefix_to_long
+    from vector_spark.functions.hashes import salted_bucket
 
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
     if abs(sum(fractions.values()) - 1.0) > 1e-9:
         raise ValueError("fractions must sum to 1")
-    bucket = F.pmod(
-        hex_prefix_to_long(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
-        ),
-        F.lit(10_000),
-    )
+    bucket = salted_bucket(id_col, salt)
     expr = None
     acc = 0.0
     for name, frac in fractions.items():
@@ -219,19 +214,14 @@ def stratified_sample(
     compiles to a literal CASE, the bucket is one md5 projection;
     composes with any scan at scan speed.
     """
-    from vector_spark.functions.hashes import hex_prefix_to_long
+    from vector_spark.functions.hashes import salted_bucket
 
     rates = rates if rates is not None else {}
     for key, r in rates.items():
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate for {key!r} must be in [0,1], got {r}")
     stratum = F.concat_ws("|", *[F.col(c) for c in strata_cols])
-    bucket = F.pmod(
-        hex_prefix_to_long(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
-        ),
-        F.lit(10_000),
-    )
+    bucket = salted_bucket(id_col, salt)
     thresh: Column = F.lit(int(round(default_rate * 10_000)))
     for key, r in sorted(rates.items()):
         thresh = F.when(stratum == key, F.lit(int(round(r * 10_000)))).otherwise(

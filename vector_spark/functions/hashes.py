@@ -43,3 +43,21 @@ def hex_prefix_to_long(hex_col: Column, n: int = 15) -> Column:
     if n > 15:
         raise ValueError("n>15 overflows int64")
     return F.conv(F.substring(hex_col, 1, n), 16, 10).cast("bigint")
+
+
+def salted_long(id_col: str, salt: str) -> Column:
+    """Portable deterministic key of (id, salt) -> bigint — THE shared
+    recipe behind split assignment, stratified sampling, and the
+    pack-shuffle order. One definition so the Spark expression and its
+    DuckDB oracle mirror (CAST(concat('0x', substr(md5(id || ':salt'),
+    1, 15)) AS BIGINT)) cannot drift apart per call site. Different
+    salts give independent decisions."""
+    return hex_prefix_to_long(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    )
+
+
+def salted_bucket(id_col: str, salt: str, buckets: int = 10_000) -> Column:
+    """`salted_long` folded to [0, buckets) — the fraction-resolution
+    bucket used by split_assign / stratified_sample."""
+    return F.pmod(salted_long(id_col, salt), F.lit(buckets))

@@ -237,26 +237,10 @@ def distribution_stats(
             )
         ).alias("__v"),
     )
-    if method == "percentile_approx":
-        qcols = [
-            F.percentile_approx(F.col("__v"), q, F.lit(10_000)).alias(
-                f"q{int(q * 100)}"
-            )
-            for q in quantiles
-        ]
-        return weighted.groupBy(*other).agg(*qcols)
-
-    from vector_spark.operators.ddsketch import (
-        SKETCH_COLS,
-        sketch_agg,
-        sketch_quantile,
-    )
-
-    # the sketch's own count/min/max/sum re-derive the base stats from
-    # the weighted rows; group by the precomputed base columns (they
-    # are constant per group) and keep them, dropping the sketch's
-    sk = sketch_agg(weighted, other, "__v")
     qcols = [
-        sketch_quantile(q).alias(f"q{int(q * 100)}") for q in quantiles
+        F.percentile_approx(F.col("__v"), q, F.lit(10_000)).alias(
+            f"q{int(q * 100)}"
+        )
+        for q in quantiles
     ]
-    return sk.select(*other, *qcols)
+    return weighted.groupBy(*other).agg(*qcols)

@@ -14,20 +14,35 @@ manifest, and reads ONLY what is new:
     already-ingested prefix)
   * different fingerprint       -> rewritten: full re-read
 
-The manifest is keyed by BASENAME with {size, fingerprint} stored as
-values, so a changed file SUPERSEDES its old entry instead of leaving
-stale keys committed forever. Commit is ack-then-checkpoint: the
-caller commits AFTER its sink write succeeds (same contract as
+Two race/aliasing hazards are handled explicitly:
+
+  * reads are CAPPED at the discovery-time size — bytes appended
+    between discovery and task execution are left for the next pass
+    (the manifest commits the discovery size, so an uncapped read
+    would emit those bytes now AND re-emit them next pass);
+  * the fingerprint length is PINNED to the committed prefix: a file
+    committed at 100 bytes is re-fingerprinted over its first 100
+    bytes (not the full 256-byte window), so an append to a small
+    file still matches its fingerprint and resumes at the offset
+    instead of being misclassified as a rewrite. The manifest stores
+    `fp_len` alongside size + fingerprint.
+
+The manifest is keyed by BASENAME with {size, fingerprint, fp_len}
+stored as values, so a changed file SUPERSEDES its old entry instead
+of leaving stale keys committed forever. Commit is ack-then-checkpoint:
+the caller commits AFTER its sink write succeeds (same contract as
 plans.checkpoint.run_resumable), so a crash between read and sink
 re-reads the delta and the sink write must be idempotent.
 
 Offset resume assumes appends are line-aligned (the committed size
 falls on a line boundary) — true for log appenders that write whole
 lines; a partial trailing line at commit time would re-emit its
-remainder fused to the next write. Non-text formats cannot seek, so
-their appends fall back to a FULL re-read: callers ingesting
-appendable non-text files get duplicate prior rows and should dedupe
-downstream (or use the streaming file source).
+remainder fused to the next write. Text files all go through the
+byte-capped reader (one task per file; parallelism is across files).
+Non-text formats cannot seek OR cap, so their appends fall back to a
+FULL re-read of the live file: callers ingesting appendable non-text
+files get duplicate prior rows and should dedupe downstream (or use
+the streaming file source).
 """
 
 from __future__ import annotations
@@ -44,6 +59,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from vector_spark.plans.checkpoint import CheckpointManager
 
+FP_BYTES = 256
+
 
 class FileEntry(NamedTuple):
     path: str
@@ -51,14 +68,19 @@ class FileEntry(NamedTuple):
     size: int
     fingerprint: str
     offset: int  # bytes already ingested; 0 = read in full
+    fp_len: int  # bytes the fingerprint covers (min(size, FP_BYTES))
 
     def lineage(self) -> dict:
         """Manifest value recording where ingestion got to — merge
         into the commit payload (commit_entries does this)."""
-        return {"size": self.size, "fingerprint": self.fingerprint}
+        return {
+            "size": self.size,
+            "fingerprint": self.fingerprint,
+            "fp_len": self.fp_len,
+        }
 
 
-def file_fingerprint(path: str, n_bytes: int = 256) -> str:
+def file_fingerprint(path: str, n_bytes: int = FP_BYTES) -> str:
     """Fingerprint = sha256 of the first n bytes (the reference
     fingerprints the first line / first N bytes, checkpointer.rs)."""
     with open(path, "rb") as fh:
@@ -85,41 +107,51 @@ def discover_new_files(
         if ignore_older_secs is not None and now - os.path.getmtime(f) > ignore_older_secs:
             continue
         size = os.path.getsize(f)
-        fp = file_fingerprint(f)
+        fp_len = min(size, FP_BYTES)
+        fp = file_fingerprint(f, fp_len)
         prev = committed.get(base)
         if prev is None:
-            out.append(FileEntry(f, base, size, fp, 0))
+            out.append(FileEntry(f, base, size, fp, 0, fp_len))
             continue
-        same_fp = prev.get("fingerprint") == fp
+        # compare over the COMMITTED prefix length: an append to a
+        # file smaller than FP_BYTES must not change its fingerprint
+        prev_len = prev.get("fp_len", FP_BYTES)
+        prev_cmp = (
+            fp if prev_len == fp_len else file_fingerprint(f, min(size, prev_len))
+        )
+        same_fp = prev.get("fingerprint") == prev_cmp
         prev_size = prev.get("size")
         if same_fp and prev_size == size:
             continue  # unchanged
         if same_fp and isinstance(prev_size, int) and 0 < prev_size < size and allow_tail:
             # append: resume at the committed byte offset
-            out.append(FileEntry(f, base, size, fp, prev_size))
+            out.append(FileEntry(f, base, size, fp, prev_size, fp_len))
         else:
             # rewritten (or tail resume disabled): full re-read
-            out.append(FileEntry(f, base, size, fp, 0))
+            out.append(FileEntry(f, base, size, fp, 0, fp_len))
     return out
 
 
-def _read_tails(spark: SparkSession, entries: list[FileEntry]) -> DataFrame:
-    """value:string lines from each file starting at its byte offset —
-    the reference's `read_from` checkpoint resume. One task per file
-    (tails are deltas; parallelism is across files), executed where
-    the file is reachable (shared storage, same assumption as the
-    native scan)."""
-    rows = [(e.path, e.offset) for e in entries]
-    src = spark.createDataFrame(rows, "path string, offset long").repartition(
-        len(rows)
-    )
+def _read_capped(spark: SparkSession, entries: list[FileEntry]) -> DataFrame:
+    """value:string lines from each file, bytes [offset, size) as of
+    DISCOVERY — the reference's `read_from` checkpoint resume. The cap
+    at the discovery size makes the read idempotent under concurrent
+    appends: bytes landing after discovery are neither emitted now nor
+    committed, so the next pass picks them up exactly once. One task
+    per file (tails are deltas; parallelism is across files), executed
+    where the file is reachable (shared storage, same assumption as
+    the native scan)."""
+    rows = [(e.path, e.offset, e.size) for e in entries]
+    src = spark.createDataFrame(
+        rows, "path string, offset long, size long"
+    ).repartition(len(rows))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for p, off in zip(pdf["path"], pdf["offset"]):
+            for p, off, size in zip(pdf["path"], pdf["offset"], pdf["size"]):
                 with open(p, "rb") as fh:
                     fh.seek(int(off))
-                    data = fh.read()
+                    data = fh.read(int(size) - int(off))
                 lines = data.decode("utf-8", errors="replace").split("\n")
                 if lines and lines[-1] == "":
                     lines.pop()
@@ -139,23 +171,18 @@ def incremental_files(
     """(DataFrame over ONLY the new content, FileEntry list to commit
     after the sink write — see commit_entries) — None frame when
     nothing is new. The listing is driver-side (same as Spark's own
-    file index); full files go through the native scan-parallel
-    reader, appended text files through the offset tail reader."""
+    file index). Text files (full or appended) go through the
+    byte-capped reader so the emitted bytes always equal the committed
+    size; non-text formats go through the native scan-parallel reader
+    (uncapped — see module docstring)."""
     new = discover_new_files(
         path, ckpt, glob, ignore_older_secs, allow_tail=(fmt == "text")
     )
     if not new:
         return None, []
-    full = [e.path for e in new if e.offset == 0]
-    tails = [e for e in new if e.offset > 0]
-    parts = []
-    if full:
-        parts.append(spark.read.format(fmt).load(full))
-    if tails:
-        parts.append(_read_tails(spark, tails))
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
+    if fmt == "text":
+        return _read_capped(spark, new), new
+    df = spark.read.format(fmt).load([e.path for e in new])
     return df, new
 
 
