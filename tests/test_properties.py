@@ -116,3 +116,52 @@ def test_shingle_id_portable(s):
     ).fetchone()[0]
     assert got == py
     assert 0 <= py < MH_P
+
+
+# ---------------------------------------------------------------------------
+# redact pattern portability: the PII filter chain must behave
+# identically under Python re (PCRE-ish) and DuckDB (RE2) — the
+# single-source-of-truth claim in datapipe/redact.py rests on the
+# patterns staying inside the common subset. Random ASCII text with
+# randomly embedded PII-shaped tokens.
+
+_pii_snippets = st.sampled_from(
+    [
+        "bob@example.com",
+        "a.b+c@ex-ample.co.uk",
+        "x@y.z",  # 1-char TLD: NOT an email per the pattern
+        "212-09-1111",  # valid SSN shape
+        "666-12-1234",  # excluded area
+        "123-12-1204",  # serial quirk: no match (carried from reference)
+        "10.0.0.1",
+        "555-867-5309",
+        "1234-12-1234",  # phone-adjacent junk
+    ]
+)
+_filler = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E, blacklist_characters="'%\\"),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(parts=st.lists(st.one_of(_filler, _pii_snippets), min_size=1, max_size=6))
+def test_redact_chain_python_re_matches_duckdb_re2(parts):
+    from vector_spark.datapipe.redact import PII_FILTERS
+
+    text = " ".join(parts)
+    py = text
+    for _, pattern, marker in PII_FILTERS:
+        py = re.sub(pattern, marker.replace("\\", "\\\\"), py)
+    sql = "?"
+    for _, pattern, marker in PII_FILTERS:
+        sql = f"regexp_replace({sql}, '{pattern}', '{marker}', 'g')"
+    got = duckdb.execute(f"SELECT {sql}", [text]).fetchone()[0]
+    assert got == py
+    for name, pattern, _ in PII_FILTERS:
+        n_py = len(re.findall(pattern, text))
+        n_ddb = duckdb.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [text, pattern]
+        ).fetchone()[0]
+        assert n_ddb == n_py, name
