@@ -233,3 +233,41 @@ def test_read_capped_at_discovery_size(spark, tmp_path):
     assert len(entries2) == 1 and entries2[0].offset == 6
     got2 = [r.value for r in _read_capped(spark, entries2).collect()]
     assert got2 == ["racy-late-line"]
+
+
+def test_crlf_and_gzip_text_files(spark, tmp_path):
+    """ADVICE r4: CRLF lines lose the '\\r' (spark.read.text parity)
+    and compressed text files decompress via the native reader instead
+    of being split raw; a grown .gz is a full re-read, never a tail."""
+    import gzip
+
+    from vector_spark.plans.checkpoint import CheckpointManager
+    from vector_spark.sources.file_tail import commit_entries, incremental_files
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "crlf.log").write_bytes(b"win-1\r\nwin-2\r\nwin-3\r\n")
+    with gzip.open(d / "old.log.gz", "wb") as fh:
+        fh.write(b"gz-1\ngz-2\n")
+    ckpt = CheckpointManager(str(tmp_path / "manifest"))
+
+    df, entries = incremental_files(spark, str(d), ckpt)
+    assert sorted(r.value for r in df.collect()) == [
+        "gz-1", "gz-2", "win-1", "win-2", "win-3"
+    ]
+    commit_entries(ckpt, entries, {})
+
+    # append a CRLF line -> tailed, '\r' stripped; append a new gzip
+    # member -> full re-read (compressed streams have no byte offsets)
+    with open(d / "crlf.log", "ab") as fh:
+        fh.write(b"win-4\r\n")
+    with open(d / "old.log.gz", "ab") as fh:
+        fh.write(gzip.compress(b"gz-3\n"))
+    df2, entries2 = incremental_files(spark, str(d), ckpt)
+    assert sorted(r.value for r in df2.collect()) == [
+        "gz-1", "gz-2", "gz-3", "win-4"
+    ]
+    gz_entry = next(e for e in entries2 if e.key == "old.log.gz")
+    assert gz_entry.offset == 0  # never tailed
+    crlf_entry = next(e for e in entries2 if e.key == "crlf.log")
+    assert crlf_entry.offset > 0  # tailed at the committed byte offset

@@ -118,3 +118,41 @@ def test_plan_shape(spark):
     assert "Python" not in plan  # pure JVM
     # the only nested-loop join is the 1-row vsize broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_materialized_model_bit_equal_and_cache_released(spark, tmp_path):
+    """The production lifecycle — train(materialize=path) ->
+    load_bigram_lm -> lm_score(model=...) — must score bit-equal to
+    the single-plan self-training form, and must leave NOTHING
+    session-cached (the ADVICE cache-accumulation fix)."""
+    from vector_spark.datapipe.lm_quality import (
+        load_bigram_lm,
+        unpersist_bigram_lm,
+    )
+
+    spark.catalog.clearCache()  # drop caches earlier tests left behind
+    texts = [f"w{i % 5} w{(i * 2) % 5} w{(i * 3) % 5}" for i in range(48)]
+    corpus = _docs(spark, texts)
+    want = sorted(
+        lm_score(corpus, vocab_size=4).collect(), key=lambda r: r["doc_id"]
+    )
+
+    path = str(tmp_path / "lm_model")
+    model = train_bigram_lm(corpus, vocab_size=4, materialize=path)
+    # materialize released the training caches
+    jsm = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    assert jsm.isEmpty(), "materialize must unpersist the training caches"
+    # reloaded tables are plain parquet scans
+    reloaded = load_bigram_lm(spark, path)
+    got = sorted(
+        lm_score(corpus, vocab_size=999, model=reloaded).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # the non-materialized form exposes an unpersist handle
+    cached = train_bigram_lm(corpus, vocab_size=4)
+    cached[2].count()  # touch bigrams so the caches materialize
+    assert not spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty()
+    unpersist_bigram_lm(cached)
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty()

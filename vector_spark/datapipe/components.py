@@ -89,14 +89,23 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(edges: DataFrame) -> tuple[int, int]:
-    # bit_xor, not sum: order-independent, cannot overflow under ANSI
-    # mode, and collision-free here because the edge set is distinct
+def _checksum(edges: DataFrame) -> tuple[int, int, int]:
+    # bit_xor, not sum: order-independent and cannot overflow under
+    # ANSI mode. A single 64-bit xor CAN collide across rounds
+    # (~2^-64 per round — a collision would stop iteration one round
+    # early with a same-size different-edge set), so the fixpoint test
+    # compares TWO independent fingerprints: xxhash64 over (src, dst)
+    # and over (dst, src, const) hash DIFFERENT byte streams, so a
+    # simultaneous collision in both is ~2^-128 — below any practical
+    # failure mode of the job itself.
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h1"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64("dst", "src", F.lit(0x9E3779B9))), F.lit(0)
+        ).alias("h2"),
     ).first()
-    return int(row["n"]), int(row["h"])
+    return int(row["n"]), int(row["h1"]), int(row["h2"])
 
 
 def connected_components(

@@ -47,9 +47,14 @@ possible):
   no positional window, no per-token shuffle), the model joins, and
   ONE groupBy(doc_id) whose partial aggregation collapses each
   document map-side (a document's pairs are co-located by explode);
-- in production the model tables would be persisted once and reused;
-  here they are recomputed per run so the whole query stays a single
-  declarative plan the oracle can mirror.
+- the production model lifecycle is ``train_bigram_lm(...,
+  materialize=path)`` → :func:`load_bigram_lm` → ``lm_score(...,
+  model=...)``: train once, write the four tables out as parquet,
+  score any number of corpora from the reloaded (lineage-free)
+  tables, nothing session-cached. The default single-plan form
+  recomputes per run so the whole query stays one declarative plan
+  the oracle can mirror; release its caches with
+  :func:`unpersist_bigram_lm`.
 """
 
 from __future__ import annotations
@@ -88,6 +93,7 @@ def train_bigram_lm(
     df: DataFrame,
     text_col: str = "text",
     vocab_size: int = 512,
+    materialize: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Train the model tables: returns ``(vocab, contexts, bigrams,
     vsize)`` as DataFrames —
@@ -102,6 +108,17 @@ def train_bigram_lm(
     - ``vsize`` — 1-row ``(vsize)`` = |vocab| + 1 (the ``<unk>``
       bucket), carried as a broadcastable DataFrame so no driver
       ``collect()`` is needed.
+
+    ``materialize=path`` is the production shape: the four tables are
+    written to ``{path}/{vocab,contexts,bigrams,vsize}`` as parquet,
+    the session caches used during training are RELEASED (unpersist),
+    and the returned DataFrames read from disk — so a long-lived
+    session scoring many corpora holds no cached model lineage, and a
+    trained model is reusable across sessions via
+    :func:`load_bigram_lm`. Without it, the tables stay
+    session-cached; call :func:`unpersist_bigram_lm` on the returned
+    tuple when done to release them without a global
+    ``spark.catalog.clearCache()``.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -150,7 +167,46 @@ def train_bigram_lm(
     )
 
     vsize = vocab.agg((F.count(F.lit(1)) + 1).cast("bigint").alias("vsize"))
+    if materialize is not None:
+        for name, table in (
+            ("vocab", vocab),
+            ("contexts", contexts),
+            ("bigrams", bigrams),
+            ("vsize", vsize),
+        ):
+            table.write.mode("overwrite").parquet(f"{materialize}/{name}")
+        # training is over: drop the session caches — the reloaded
+        # tables below are plain parquet scans with no lineage back to
+        # the corpus, so repeated scoring runs accumulate nothing.
+        vocab.unpersist()
+        bigrams.unpersist()
+        return load_bigram_lm(df.sparkSession, materialize)
     return vocab, contexts, bigrams, vsize
+
+
+def load_bigram_lm(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Reload model tables written by ``train_bigram_lm(...,
+    materialize=path)`` — the cross-session production path. Returns
+    the same ``(vocab, contexts, bigrams, vsize)`` tuple; pass it to
+    :func:`lm_score` via ``model=``."""
+    return tuple(
+        spark.read.parquet(f"{path}/{name}")
+        for name in ("vocab", "contexts", "bigrams", "vsize")
+    )
+
+
+def unpersist_bigram_lm(
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame],
+) -> None:
+    """Release the session caches behind a non-materialized model
+    tuple (vocab and bigrams are the persisted ones; unpersist is a
+    no-op on uncached tables, so this is safe on reloaded models
+    too)."""
+    vocab, _contexts, bigrams, _vsize = model
+    vocab.unpersist()
+    bigrams.unpersist()
 
 
 def lm_score(
@@ -160,23 +216,32 @@ def lm_score(
     vocab_size: int = 512,
     add_k: float = 1.0,
     train_df: DataFrame | None = None,
+    model: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document bigram-LM cross-entropy. By default the model is
     trained on the SAME corpus (self-scoring); pass ``train_df`` to
     train on a reference corpus instead — the CCNet setup, where a
     clean-corpus LM scores candidate documents and high perplexity
     means "unlike the reference". ``train_df`` must carry the same
-    ``text_col``.
+    ``text_col``. Pass ``model=`` (a :func:`train_bigram_lm` /
+    :func:`load_bigram_lm` tuple) to score against a pre-trained
+    model — train once, score many corpora, release with
+    :func:`unpersist_bigram_lm`; ``vocab_size``/``train_df`` are
+    ignored in that case.
 
     Output: ``(doc_id, n_tokens, n_bigrams, logprob_sum, xent)`` —
     ``xent`` in nats/token, NULL for documents with < 2 tokens
     (``n_bigrams = 0``); ``logprob_sum`` is the exact decimal sum of
     6-dp-rounded per-bigram ``ln P``, surfaced as double.
     """
-    vocab, contexts, bigrams, vsize = train_bigram_lm(
-        train_df if train_df is not None else df,
-        text_col=text_col,
-        vocab_size=vocab_size,
+    vocab, contexts, bigrams, vsize = (
+        model
+        if model is not None
+        else train_bigram_lm(
+            train_df if train_df is not None else df,
+            text_col=text_col,
+            vocab_size=vocab_size,
+        )
     )
 
     docs = df.select(

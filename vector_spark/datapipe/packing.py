@@ -46,7 +46,6 @@ _LOC = "_pk_loc"
 _CNT = "_pk_cnt"
 _OFF = "_pk_off"
 _ORD = "_pk_ord"
-_LOW33 = (1 << 33) - 1
 
 
 def shuffle_order(id_col: str = "doc_id", salt: str = "pack-shuffle-v1"):
@@ -92,6 +91,17 @@ def pack_chunks(
         .withColumn(_PID, F.shiftright(F.col(_MID), 33))
         .drop(_MID)
     )
+    # Pin ONE physical range layout before fanning out: the local
+    # cumsum and the per-partition totals below both read `part`, and
+    # without materialization their correctness would ride on Spark's
+    # exchange reuse collapsing the two branches into a single range
+    # exchange (repartitionByRange SAMPLES boundaries per execution —
+    # two independent exchanges could assign different _PIDs and
+    # silently corrupt start_off under exchange.reuse=false). The
+    # checkpointed table is two ints + the order key per document;
+    # lineage truncation also keeps the downstream plan flat. The RDD
+    # blocks are released by the ContextCleaner when the plan is GC'd.
+    part = part.localCheckpoint(eager=True)
     # local running sum of tokens BEFORE this doc, within the physical
     # partition: the window's hash(_PID) exchange maps each range
     # partition to one reducer and moves only (doc_id, n_tok) pairs.

@@ -37,12 +37,18 @@ re-reads the delta and the sink write must be idempotent.
 Offset resume assumes appends are line-aligned (the committed size
 falls on a line boundary) — true for log appenders that write whole
 lines; a partial trailing line at commit time would re-emit its
-remainder fused to the next write. Text files all go through the
-byte-capped reader (one task per file; parallelism is across files).
-Non-text formats cannot seek OR cap, so their appends fall back to a
-FULL re-read of the live file: callers ingesting appendable non-text
-files get duplicate prior rows and should dedupe downstream (or use
-the streaming file source).
+remainder fused to the next write. Plain text files all go through
+the byte-capped reader (one task per file; parallelism is across
+files); CRLF files lose the '\r' exactly as spark.read.text would.
+COMPRESSED text files (.gz/.bz2/...) cannot byte-seek — a raw-offset
+read of a gzip member is mojibake — so they are never tailed: they
+route through the native text reader (which transparently
+decompresses), and a grown compressed file is a full re-read. The
+standard contract applies: compressed logs are rotation artifacts,
+immutable once placed. Non-text formats likewise cannot seek OR cap,
+so their appends fall back to a FULL re-read of the live file:
+callers ingesting appendable non-text files get duplicate prior rows
+and should dedupe downstream (or use the streaming file source).
 """
 
 from __future__ import annotations
@@ -60,6 +66,14 @@ from pyspark.sql import DataFrame, SparkSession
 from vector_spark.plans.checkpoint import CheckpointManager
 
 FP_BYTES = 256
+
+# suffixes Hadoop's codec factory decompresses transparently — these
+# files are read whole via the native reader, never byte-tailed
+COMPRESSED_EXTS = (".gz", ".bz2", ".deflate", ".snappy", ".lz4", ".zst", ".zstd")
+
+
+def _is_compressed(path: str) -> bool:
+    return path.lower().endswith(COMPRESSED_EXTS)
 
 
 class FileEntry(NamedTuple):
@@ -123,7 +137,15 @@ def discover_new_files(
         prev_size = prev.get("size")
         if same_fp and prev_size == size:
             continue  # unchanged
-        if same_fp and isinstance(prev_size, int) and 0 < prev_size < size and allow_tail:
+        if (
+            same_fp
+            and isinstance(prev_size, int)
+            and 0 < prev_size < size
+            and allow_tail
+            # a compressed stream has no seekable byte offsets: a
+            # grown .gz (new members appended) must re-read in full
+            and not _is_compressed(f)
+        ):
             # append: resume at the committed byte offset
             out.append(FileEntry(f, base, size, fp, prev_size, fp_len))
         else:
@@ -155,6 +177,11 @@ def _read_capped(spark: SparkSession, entries: list[FileEntry]) -> DataFrame:
                 lines = data.decode("utf-8", errors="replace").split("\n")
                 if lines and lines[-1] == "":
                     lines.pop()
+                # CRLF parity with spark.read.text (Hadoop LineReader
+                # treats \r\n as one terminator): drop the trailing \r
+                lines = [
+                    ln[:-1] if ln.endswith("\r") else ln for ln in lines
+                ]
                 yield pd.DataFrame({"value": pd.Series(lines, dtype=object)})
 
     return src.mapInPandas(gen, "value string")
@@ -181,7 +208,22 @@ def incremental_files(
     if not new:
         return None, []
     if fmt == "text":
-        return _read_capped(spark, new), new
+        plain = [e for e in new if not _is_compressed(e.path)]
+        comp = [e for e in new if _is_compressed(e.path)]
+        frames = []
+        if plain:
+            frames.append(_read_capped(spark, plain))
+        if comp:
+            # native reader: transparent decompression + CRLF handling;
+            # uncapped by construction (no byte offsets in a codec
+            # stream) — compressed files are expected to be immutable
+            frames.append(
+                spark.read.format("text").load([e.path for e in comp])
+            )
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)
+        return df, new
     df = spark.read.format(fmt).load([e.path for e in new])
     return df, new
 
