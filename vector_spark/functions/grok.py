@@ -601,16 +601,133 @@ def datadog_keyvalue(
     )
 
 
+def _split_filter_args(s: str) -> list[str]:
+    """Split a filter's argument list on TOP-LEVEL commas (commas
+    inside double quotes or nested parens belong to the argument)."""
+    args: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    in_q = False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_q:
+            if ch == "\\" and i + 1 < len(s):
+                cur.append(ch)
+                cur.append(s[i + 1])
+                i += 2
+                continue
+            if ch == '"':
+                in_q = False
+        elif ch == '"':
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail or args:
+        args.append(tail)
+    return args
+
+
+def _dd_array(col: Column, filt: str) -> Column:
+    """Datadog grok `array` filter (lib/datadog/grok/src/filters/
+    array.rs): strip the bracket pair, split on the delimiter, and
+    optionally apply a value filter to every element. Argument forms
+    mirror array.rs filter_from_function — array(), array("sep"),
+    array(filter), array("[]", "sep"), array("sep", filter),
+    array("[]", "sep", filter). Brackets arg: "" = none, 1 char =
+    same open/close, 2 chars = open+close. Elements are NOT trimmed
+    (array.rs take_until keeps inner spaces; its own test expects
+    " 1 " from "[ 1 ,2]"). A non-bracketed input yields NULL (the
+    reference's parse error), and an empty interior yields an empty
+    array."""
+    m = re.match(r"^array\((.*)\)$", filt, re.S)
+    raw_args = _split_filter_args(m.group(1)) if m else []
+
+    def is_str(a: str) -> bool:
+        return a.startswith('"')
+
+    brackets: str | None = None
+    delim: str | None = None
+    value_filter: str | None = None
+    if len(raw_args) == 1:
+        if is_str(raw_args[0]):
+            delim = _unquote(raw_args[0])
+        else:
+            value_filter = raw_args[0]
+    elif len(raw_args) == 2:
+        if is_str(raw_args[0]) and is_str(raw_args[1]):
+            brackets, delim = _unquote(raw_args[0]), _unquote(raw_args[1])
+        elif is_str(raw_args[0]):
+            delim, value_filter = _unquote(raw_args[0]), raw_args[1]
+        else:
+            raise ValueError(f"invalid array filter arguments: {filt!r}")
+    elif len(raw_args) == 3:
+        if not (is_str(raw_args[0]) and is_str(raw_args[1])):
+            raise ValueError(f"invalid array filter arguments: {filt!r}")
+        brackets, delim = _unquote(raw_args[0]), _unquote(raw_args[1])
+        value_filter = raw_args[2]
+    elif len(raw_args) > 3:
+        raise ValueError(f"invalid array filter arguments: {filt!r}")
+
+    if brackets is None:
+        open_b, close_b = "[", "]"
+    elif brackets == "":
+        open_b = close_b = ""
+    elif len(brackets) == 1:
+        open_b = close_b = brackets
+    elif len(brackets) == 2:
+        open_b, close_b = brackets[0], brackets[1]
+    else:
+        raise ValueError(f"array brackets arg must be 0-2 chars: {brackets!r}")
+    delim = delim if delim is not None else ","
+
+    if open_b == "":
+        inner = col
+    else:
+        rx = "^" + re.escape(open_b) + "(.*)" + re.escape(close_b) + r"\s*$"
+        inner = F.when(col.rlike(rx), F.regexp_extract(col, rx, 1))
+    arr = F.when(
+        inner == "", F.array().cast("array<string>")
+    ).otherwise(F.split(inner, re.escape(delim), -1))
+    if value_filter is not None:
+        inner_f = value_filter
+        arr = F.transform(arr, lambda v: apply_grok_filter(v, inner_f))
+    return arr
+
+
 def apply_grok_filter(col: Column, filt: str) -> Column:
-    """Datadog grok filters (lib/datadog/grok/src/filters/) as Column
-    post-processing over the extracted string: integer, number,
-    boolean, nullIf("v"), scale(x), lowercase, uppercase,
-    keyvalue("kv_sep"[, "pair_sep"]) -> map<string,string>
-    (lib/datadog/grok/src/filters/keyvalue.rs)."""
+    """Datadog grok filters (lib/datadog/grok/src/grok_filter.rs:14-33
+    and filters/) as Column post-processing over the extracted string:
+    integer, integerExt (scientific notation, truncated toward zero),
+    number, numberExt, boolean, nullIf("v"), scale(x), lowercase,
+    uppercase, json -> VARIANT (try_parse_json; NULL on malformed —
+    the reference's filter error), array(...) -> array (see
+    :func:`_dd_array`), keyvalue(...) -> map<string,string>
+    (filters/keyvalue.rs)."""
     if filt == "integer":
         return col.try_cast("bigint")
-    if filt == "number":
+    if filt == "integerExt":
+        # grok_filter.rs IntegerExt: parse as f64 then `as i64`
+        # (truncation toward zero) — double->bigint cast semantics
+        return col.try_cast("double").try_cast("bigint")
+    if filt in ("number", "numberExt"):
         return col.try_cast("double")
+    if filt == "json":
+        # grok_filter.rs Json: serde_json parse, error -> filter
+        # failure; Spark-first = VARIANT (arbitrary JSON, columnar)
+        return F.try_parse_json(col)
+    if filt == "array" or filt.startswith("array("):
+        return _dd_array(col, filt)
     if filt == "boolean":
         return F.lower(col) == "true"
     if filt == "lowercase":

@@ -111,9 +111,10 @@ def line_agg_modes(
     a line arriving more than `timeout` after its predecessor sees a
     flushed (empty) buffer — the step is forced absorbing with
     base = s, and the line never joins backwards. Wall-clock arrival
-    gaps have no batch analogue (documented divergence; the streaming
-    path gets real arrival-time timeouts from
-    applyInPandasWithState's processing-time timeout).
+    gaps have no batch analogue (documented divergence;
+    `streaming.stream_ops.stream_line_agg` is the unbounded form with
+    REAL arrival-time timeouts via applyInPandasWithState's
+    processing-time timer).
     """
     if mode not in MODES:
         raise ValueError(f"line_agg mode must be one of {MODES}: {mode!r}")

@@ -3021,6 +3021,63 @@ FROM events
 """
 
 
+def q_op_parse_grok_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datadog grok `json` filter end-to-end (r4 VERDICT gap:
+    grok_filter.rs:14-33 Json): synthesize the flagship error shape —
+    a level token followed by a JSON payload — per event row, parse
+    with %{word:level} %{data:payload:json}, and project typed fields
+    out of the VARIANT. Malformed payloads (every 11th row is
+    truncated) must yield NULL, the reference's filter-failure path.
+    JVM end-to-end: native grok regex + try_parse_json +
+    try_variant_get."""
+    from vector_spark.functions.grok import grok_extract_typed
+
+    ev = _tbl(spark, sf_dir, "events")
+    level = F.element_at(
+        F.array(F.lit("ERROR"), F.lit("WARN"), F.lit("INFO")),
+        (F.pmod(F.col("event_id"), F.lit(3)) + 1).cast("int"),
+    )
+    code = (F.lit(500) + F.pmod(F.col("event_id"), F.lit(5))).cast("bigint")
+    dur = F.round(F.col("value") * 10, 0).cast("bigint")
+    payload = F.concat(
+        F.lit('{"code": '), code, F.lit(', "dur_ms": '), dur, F.lit("}")
+    )
+    broken = F.pmod(F.col("event_id"), F.lit(11)) == 0
+    line = F.concat_ws(
+        " ",
+        level,
+        F.when(broken, F.substring(payload, 1, 8)).otherwise(payload),
+    )
+    st = grok_extract_typed(
+        line,
+        "%{word:level} %{data:payload:json}",
+        engine="native",
+        literal_text=False,
+    )
+    return ev.select(F.col("event_id"), st.alias("g")).select(
+        "event_id",
+        F.col("g.level").alias("level"),
+        F.try_variant_get(F.col("g.payload"), "$.code", "bigint").alias("code"),
+        F.try_variant_get(F.col("g.payload"), "$.dur_ms", "bigint").alias("dur_ms"),
+        F.col("g.payload").isNotNull().alias("has_payload"),
+    )
+
+
+# oracle recomputes the fields DIRECTLY from the event columns (no
+# JSON round-trip): if the grok match, try_parse_json, or variant_get
+# mangles anything, the engine side diverges and the hash catches it
+SQL_OP_PARSE_GROK_JSON = """
+SELECT event_id,
+       ['ERROR','WARN','INFO'][CAST(event_id % 3 AS INT) + 1] AS level,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE CAST(500 + event_id % 5 AS BIGINT) END AS code,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE CAST(round(value * 10, 0) AS BIGINT) END AS dur_ms,
+       event_id % 11 <> 0 AS has_payload
+FROM events
+"""
+
+
 def q_op_route_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-kind envelope + IsLog/IsMetric/IsTrace type-test
     conditions (src/conditions/mod.rs:22-47) driving a route fan-out:
@@ -3073,7 +3130,9 @@ SELECT '_unmatched', CAST(0 AS BIGINT)
 # stable remainder; the >50 tail holds only queries untouched this
 # round whose green evidence is freshest (previous round's gate).
 QUERIES = {
-    # -- new this round (r4)
+    # -- new this round (r5)
+    "op_parse_grok_json": q_op_parse_grok_json,
+    # -- new in r4
     "op_line_agg_modes": q_op_line_agg_modes,
     "op_agg_sketch": q_op_agg_sketch,
     "op_agg_sketch_merge": q_op_agg_sketch_merge,
@@ -3173,6 +3232,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "op_parse_grok_json": SQL_OP_PARSE_GROK_JSON,
     "dp_span_dedup": SQL_DP_SPAN_DEDUP,
     "dp_redact": SQL_DP_REDACT,
     "dp_lm_perplexity": SQL_DP_LM_PERPLEXITY,

@@ -408,3 +408,144 @@ def stream_tag_cardinality_limit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_line_agg(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    line_col: str,
+    start_pattern: str,
+    condition_pattern: str,
+    mode: str = "continue_through",
+    timeout_secs: float | None = None,
+    sep: str = "\n",
+    out_col: str = "message",
+) -> DataFrame:
+    """Streaming multiline aggregation — the unbounded form of
+    operators.line_agg.line_agg_modes, replaying the reference's
+    per-source automaton verbatim (src/line_agg.rs:295-355
+    handle_line: vacant/occupied branches, Continue / EndInclude /
+    EndExclude decisions per mode, with EndExclude's halting line
+    STASHED and re-processed through the vacant branch exactly like
+    poll_next's stash loop, line_agg.rs:171-185).
+
+    `timeout_secs` is the REAL arrival-time timeout the batch form
+    documents as its divergence: the reference flushes a buffer when
+    no next line arrives within the timeout (DelayQueue,
+    line_agg.rs:126-130); here the group's processing-time timer is
+    re-armed after every micro-batch that leaves a buffer open, and
+    the expiry callback (state.hasTimedOut) emits the buffered event —
+    wall-clock semantics, not event-time gaps. None = flush only at
+    stream end (the reference's draining path has no timeout either).
+
+    State per key: (joined buffer, line count) — lines cannot contain
+    `sep` (the reference splits on it upstream), so the joined string
+    round-trips. Rows are processed in `order_col` order within each
+    micro-batch (stable sort; cross-batch order is arrival order, the
+    same contract as the reference's input stream)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+    import re as _re
+
+    from vector_spark.operators.line_agg import MODES
+
+    if mode not in MODES:
+        raise ValueError(f"line_agg mode must be one of {MODES}: {mode!r}")
+
+    key_field = df.schema[key_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType),
+            T.StructField(out_col, T.StringType()),
+            T.StructField("line_count", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("buf", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    out_cols = [key_col, out_col, "line_count"]
+
+    def fn(key, pdf_iter, state: GroupState):
+        start_rx = _re.compile(start_pattern)
+        cond_rx = _re.compile(condition_pattern)
+        k = key[0]
+        rows = []
+
+        def emit(buf, n):
+            rows.append({key_col: k, out_col: buf, "line_count": n})
+
+        if state.hasTimedOut:
+            # DelayQueue expiry (line_agg.rs:216-225): flush the buffer
+            if state.exists:
+                buf, n = state.get
+                emit(buf, n)
+                state.remove()
+            if rows:
+                yield pd.DataFrame(rows, columns=out_cols)
+            return
+
+        buf, n = state.get if state.exists else (None, 0)
+        chunks = [pdf for pdf in pdf_iter]
+        batch = (
+            pd.concat(chunks).sort_values(order_col, kind="stable")
+            if chunks
+            else pd.DataFrame(columns=[line_col])
+        )
+        for line in batch[line_col]:
+            line = "" if line is None else str(line)
+            reprocess = True
+            while reprocess:
+                reprocess = False
+                if buf is not None:  # occupied branch
+                    c = cond_rx.search(line) is not None
+                    if mode == "continue_through":
+                        dec = "cont" if c else "end_ex"
+                    elif mode == "continue_past":
+                        dec = "cont" if c else "end_in"
+                    elif mode == "halt_before":
+                        dec = "end_ex" if c else "cont"
+                    else:  # halt_with
+                        dec = "end_in" if c else "cont"
+                    if dec == "cont":
+                        buf, n = buf + sep + line, n + 1
+                    elif dec == "end_in":
+                        emit(buf + sep + line, n + 1)
+                        buf, n = None, 0
+                    else:  # end_ex: flush, then STASH the line through
+                        # the vacant branch (poll_next's stash loop)
+                        emit(buf, n)
+                        buf, n = None, 0
+                        reprocess = True
+                else:  # vacant branch
+                    if start_rx.search(line) is not None:
+                        buf, n = line, 1
+                    else:
+                        emit(line, 1)  # pass-through singleton
+
+        if buf is not None:
+            state.update((buf, n))
+            if timeout_secs is not None:
+                # re-arm: the reference resets the timeout whenever a
+                # line lands in the buffer (timeouts.reset, :324)
+                state.setTimeoutDuration(int(timeout_secs * 1000))
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_secs is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
