@@ -1,20 +1,54 @@
-"""Multimodal binary-column plumbing: decode/feature, resize,
-frame-sample — the Spark-side machinery is real (schemas, Arrow
-batch shape, partition-parallel mapInPandas); codecs are
-deterministic stubs by documented design (no image/audio libs in
-this environment)."""
+"""Multimodal binary-column plumbing + REAL image codec: the Spark
+machinery (schemas, Arrow batch shape, partition-parallel mapInPandas)
+AND the decode are real since r5 — image payloads are true PNGs
+(pure-stdlib codec, datapipe/png_codec.py) and features come from
+decoded pixels. Audio/video codecs remain caller-supplied."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from vector_spark.datapipe.multimodal import (
     extract_features,
-    fake_image_decoder,
     frame_sample_plan,
+    png_image_decoder,
+    png_image_resizer,
     resize_images,
     synth_media_df,
+    synth_pixels,
 )
+from vector_spark.datapipe.png_codec import png_decode, png_encode
+
+
+def test_png_codec_roundtrip_shapes():
+    rng = np.random.RandomState(11)
+    for shape in [(4, 7), (9, 5, 3), (3, 8, 4)]:
+        a = rng.randint(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(png_decode(png_encode(a)), a)
+
+
+def test_png_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    # valid signature, truncated body
+    with pytest.raises(ValueError):
+        png_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
+
+
+def test_decoder_reads_dims_from_ihdr_not_meta():
+    """The real decoder ignores the metadata sidecar — width/height
+    come from the pixels."""
+    px = synth_pixels(6)  # 38x38
+    w, h, feat = png_image_decoder(png_encode(px), {"w": "999", "h": "999"})
+    assert (w, h) == (px.shape[1], px.shape[0])
+    assert len(feat) == 8
+    # features are the documented integer pixel statistics
+    r = px[..., 0].astype(np.int64)
+    assert feat[0] == float(int(r.sum()) // r.size)
+    assert feat[4] == float(r.min()) and feat[5] == float(r.max())
+    assert feat[6] == float(np.unique(r).size)
+    assert feat[7] == float(int((r * r).sum()) // r.size)
 
 
 def test_extract_features_shapes(spark):
@@ -23,15 +57,13 @@ def test_extract_features_shapes(spark):
     assert len(feats) == 30
     for r in feats:
         if r.kind == "image":
-            assert r.width is not None and len(r.feature) == 8
+            assert r.width == 32 + r.media_id % 64
+            assert r.height == 32 + r.media_id % 48
+            assert len(r.feature) == 8
+            assert r.n_bytes > 64  # real PNG payload, not the 64-byte fake
         else:  # non-selected kinds: metadata-only rows, no decode
             assert r.feature is None
-        assert r.n_bytes == 64
-
-
-def test_decoder_stub_guard():
-    with pytest.raises(NotImplementedError):
-        fake_image_decoder(None, {})
+            assert r.n_bytes == 64
 
 
 def test_frame_sample_plan(spark):
@@ -50,6 +82,8 @@ def test_resize_composes_with_features(spark):
     for mid, r in rows.items():
         if r.kind == "image":
             assert r.meta["w"] == "16" and r.meta["h"] == "16"
+            # the payload is a REAL 16x16 PNG
+            assert png_decode(bytes(r.payload)).shape == (16, 16, 3)
         else:  # pass-through
             assert r.payload is not None and len(r.payload) == 64
     # resized output keeps the MEDIA shape: feature pass composes
@@ -57,8 +91,15 @@ def test_resize_composes_with_features(spark):
     for r in feats:
         if r.kind == "image":
             assert (r.width, r.height) == (16, 16)
-            # byte length scaled by pixel ratio => n_bytes changed
-            assert r.n_bytes != 64
+
+
+def test_resize_is_nearest_neighbour():
+    """Downsample-by-2 picks every other pixel (index resample)."""
+    px = synth_pixels(0)  # 32x32
+    out_png, meta = png_image_resizer(png_encode(px), {}, 16, 16)
+    out = png_decode(out_png)
+    assert np.array_equal(out, px[::2, ::2])
+    assert meta == {"w": "16", "h": "16"}
 
 
 def test_resize_deterministic(spark):
@@ -66,12 +107,3 @@ def test_resize_deterministic(spark):
     a = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 8).collect()}
     b = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 8).collect()}
     assert a == b
-
-
-def test_resizer_edge_inputs():
-    from vector_spark.datapipe.multimodal import fake_image_resizer
-
-    out, meta = fake_image_resizer(b"", None, 8, 8)
-    assert out == b"" and meta == {"w": "8", "h": "8"}
-    out2, meta2 = fake_image_resizer(bytes(range(10)), {"w": "2", "h": "2"}, 4, 4)
-    assert len(out2) > 0 and meta2["w"] == "4"

@@ -2,11 +2,18 @@
 columns with typed metadata.
 
 The Spark-side machinery (schema, Arrow batch shape, partition-aware
-mapInPandas decode, metadata propagation) is real and tested; the
-codec step itself is STUBBED (image/audio libraries are not in this
-environment) behind `decoder=` — pass a real decode function in
-production, or use `fake_image_decoder` (deterministic, dependency-
-free) to exercise the plumbing.
+mapInPandas decode, metadata propagation) is real and tested, and —
+since r5 — so is the image codec: `datapipe.png_codec` is a
+pure-stdlib PNG encoder/decoder (public W3C spec, zlib + struct), so
+`extract_features` computes features from REAL decoded pixels and
+`resize_images` does a REAL nearest-neighbour resample + re-encode.
+No image library needed; audio/video payloads remain opaque bytes
+(decode step for those kinds is caller-supplied in production).
+
+Feature vector (8 dims, all integer-valued by construction so the
+float32 array round-trips exactly and a SQL oracle can re-derive them
+from the pixel formulas): floor-mean of R/G/B, floor-mean brightness,
+min/max of R, distinct R values, floor-mean of R².
 """
 
 from __future__ import annotations
@@ -19,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from vector_spark.datapipe.png_codec import png_decode, png_encode
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -42,15 +51,43 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def synth_pixels(i: int) -> np.ndarray:
+    """Deterministic RGB pixel field for image media_id=i — pure
+    integer formulas over the (x, y) grid, so a SQL oracle can
+    re-derive every pixel without parsing PNG:
+
+      w = 32 + i%64, h = 32 + i%48
+      R = (x + 3y + i) % 256
+      G = (2x + y + 7i) % 256
+      B = (x*y + i*i) % 256
+    """
+    w, h = 32 + i % 64, 32 + i % 48
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = (x + 3 * y + i) % 256
+    g = (2 * x + y + 7 * i) % 256
+    b = (x * y + i * i) % 256
+    return np.stack(
+        [np.broadcast_to(c, (h, w)) for c in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+
+
 def synth_media_df(spark, n: int = 100) -> DataFrame:
-    """Deterministic fake media table: payload bytes are a pure
-    function of media_id (no real codecs involved)."""
+    """Deterministic media table. Image rows (media_id % 3 == 0) carry
+    REAL PNG payloads encoding :func:`synth_pixels`; audio/video rows
+    carry opaque 64-byte payloads (their codecs are out of scope —
+    caller-supplied in production)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             kinds = np.array(["image", "audio", "video"])[ids % 3]
-            payloads = [bytes((np.arange(64) * (i + 1) % 256).astype(np.uint8)) for i in ids]
+            payloads = [
+                png_encode(synth_pixels(int(i)))
+                if i % 3 == 0
+                else bytes((np.arange(64) * (i + 1) % 256).astype(np.uint8))
+                for i in ids
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -64,23 +101,40 @@ def synth_media_df(spark, n: int = 100) -> DataFrame:
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def fake_image_decoder(payload: bytes, meta: dict) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for a real decode+feature step: 'decodes'
-    dimensions from metadata and derives an 8-dim feature from payload
-    byte stats. Replace with PIL/torchvision in production."""
-    if payload is None:
-        raise NotImplementedError("real decode requires an image library")
-    w = int(meta.get("w", 0)) if meta else 0
-    h = int(meta.get("h", 0)) if meta else 0
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-    chunks = np.array_split(arr, 8)
-    feat = [float(round(c.mean(), 3)) for c in chunks]
-    return w, h, feat
+def png_image_decoder(payload: bytes, meta: dict) -> tuple[int, int, list[float]]:
+    """REAL decode + feature step: parses the PNG (datapipe.png_codec),
+    reads width/height from IHDR (meta is ignored — dims come from the
+    pixels, not the sidecar), and computes 8 integer-valued pixel
+    statistics: floor-mean R/G/B, floor-mean brightness, min/max R,
+    distinct R values, floor-mean R². Integer arithmetic end-to-end
+    (floor-division, no float rounding), every value < 2^24 so the
+    float32 feature column is exact."""
+    px = png_decode(payload)
+    if px.ndim == 2:
+        r = g = b = px.astype(np.int64)
+    else:
+        r = px[..., 0].astype(np.int64)
+        g = px[..., 1].astype(np.int64)
+        b = px[..., 2].astype(np.int64)
+    h, w = px.shape[0], px.shape[1]
+    npix = h * w
+    sr, sg, sb = int(r.sum()), int(g.sum()), int(b.sum())
+    feat = [
+        sr // npix,
+        sg // npix,
+        sb // npix,
+        (sr + sg + sb) // (3 * npix),
+        int(r.min()),
+        int(r.max()),
+        int(np.unique(r).size),
+        int((r * r).sum()) // npix,
+    ]
+    return w, h, [float(v) for v in feat]
 
 
 def extract_features(
     media: DataFrame,
-    decoder: Callable[[bytes, dict], tuple[int, int, list[float]]] = fake_image_decoder,
+    decoder: Callable[[bytes, dict], tuple[int, int, list[float]]] = png_image_decoder,
     batch_kinds: tuple[str, ...] = ("image",),
 ) -> DataFrame:
     """mapInPandas decode/feature pass. Partition-parallel, Arrow
@@ -136,36 +190,27 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def fake_image_resizer(
+def png_image_resizer(
     payload: bytes, meta: dict, target_w: int, target_h: int
 ) -> tuple[bytes, dict]:
-    """Deterministic stand-in for a real resize: scales the payload
-    byte length by the pixel-count ratio (nearest-neighbor byte
-    subsample/repeat) and rewrites w/h metadata. Replace with
-    PIL.Image.resize in production."""
-    if payload is None:
-        raise NotImplementedError("real resize requires an image library")
-    meta = dict(meta) if meta else {}
-    w = int(meta.get("w", 1)) or 1
-    h = int(meta.get("h", 1)) or 1
-    src = np.frombuffer(payload, dtype=np.uint8)
-    new_meta = dict(meta)
-    if len(src) == 0:  # zero-byte payload: nothing to sample from
-        new_meta["w"], new_meta["h"] = str(target_w), str(target_h)
-        return b"", new_meta
-    ratio = (target_w * target_h) / float(w * h)
-    n_out = max(1, int(round(len(src) * ratio)))
-    idx = (np.arange(n_out) * len(src) // n_out).clip(0, len(src) - 1)
-    out = src[idx].tobytes()
+    """REAL nearest-neighbour resize: decode the PNG, index-resample
+    the pixel grid to (target_h, target_w), re-encode, and rewrite the
+    w/h metadata."""
+    px = png_decode(payload)
+    src_h, src_w = px.shape[0], px.shape[1]
+    ys = (np.arange(target_h, dtype=np.int64) * src_h) // target_h
+    xs = (np.arange(target_w, dtype=np.int64) * src_w) // target_w
+    out = px[ys][:, xs]
+    new_meta = dict(meta) if meta else {}
     new_meta["w"], new_meta["h"] = str(target_w), str(target_h)
-    return out, new_meta
+    return png_encode(out), new_meta
 
 
 def resize_images(
     media: DataFrame,
     target_w: int,
     target_h: int,
-    resizer: Callable[[bytes, dict, int, int], tuple[bytes, dict]] = fake_image_resizer,
+    resizer: Callable[[bytes, dict, int, int], tuple[bytes, dict]] = png_image_resizer,
 ) -> DataFrame:
     """mapInPandas resize pass over image rows (same MEDIA-shaped
     output, so resize composes with extract_features / sinks).

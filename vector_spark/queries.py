@@ -2761,11 +2761,14 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-checked form of mm_features: the stub decoder is a pure
-    function of media_id, so the whole mapInPandas decode pass has an
-    exact SQL replication. Features scaled x1000 to BIGINT — every
-    chunk mean is a multiple of 1/8, so the scaling is lossless on
-    both engines (no float-hash traps)."""
+    """Value-checked form of mm_features over the REAL decode path
+    (r5): image payloads are true PNGs of datapipe.multimodal's
+    synth_pixels formulas, the decoder parses IHDR + unfilters IDAT,
+    and every feature is an integer pixel statistic the oracle
+    re-derives from the same (x, y) formulas — a single mangled pixel
+    anywhere in encode->decode hash-mismatches. n_bytes is projected
+    only for non-image rows (a zlib stream's length is not
+    SQL-predictable; mm_features still carries the real value)."""
     from vector_spark.datapipe.multimodal import extract_features, synth_media_df
 
     _prep(spark)
@@ -2775,37 +2778,48 @@ def q_mm_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kind"),
         F.col("width"),
         F.col("height"),
-        F.col("n_bytes"),
+        F.when(F.col("kind") != "image", F.col("n_bytes")).alias("n_bytes"),
     ]
     for k in range(8):
-        sel.append(
-            (F.element_at("feature", k + 1).cast("double") * 1000)
-            .cast("bigint")
-            .alias(f"f{k}")
-        )
+        sel.append(F.element_at("feature", k + 1).cast("bigint").alias(f"f{k}"))
     return feats.select(*sel)
 
 
-_MM_FCOLS = ",\n       ".join(
-    f"CASE WHEN i % 3 = 0 THEN f{k} END AS f{k}" for k in range(8)
-)
-_MM_PCOLS = ", ".join(f"max(CASE WHEN k = {k} THEN fv END) AS f{k}" for k in range(8))
-
-SQL_MM_FEATURES_CHECKED = f"""
+# per-pixel re-derivation of synth_pixels + png_image_decoder: the
+# grid CTE rebuilds every R/G/B value from the integer formulas, the
+# aggregate reproduces the decoder's floor-division statistics
+SQL_MM_FEATURES_CHECKED = """
 WITH ids AS (SELECT unnest(range(200)) AS i),
-b AS (SELECT i, j, (j * (i + 1)) % 256 AS v
-      FROM ids, unnest(range(64)) AS t(j)),
-f AS (SELECT i, j // 8 AS k, CAST(round(avg(v), 3) * 1000 AS BIGINT) AS fv
-      FROM b GROUP BY 1, 2),
-p AS (SELECT i, {_MM_PCOLS} FROM f GROUP BY i)
+dims AS (SELECT i, 32 + i % 64 AS w, 32 + i % 48 AS h
+         FROM ids WHERE i % 3 = 0),
+px AS (
+  SELECT i, w, h,
+         (x + 3*y + i) % 256 AS r,
+         (2*x + y + 7*i) % 256 AS g,
+         (x*y + i*i) % 256 AS b
+  FROM dims, LATERAL (SELECT unnest(range(w)) AS x) tx,
+             LATERAL (SELECT unnest(range(h)) AS y) ty
+),
+f AS (
+  SELECT i,
+         CAST(sum(r) // (w*h) AS BIGINT) AS f0,
+         CAST(sum(g) // (w*h) AS BIGINT) AS f1,
+         CAST(sum(b) // (w*h) AS BIGINT) AS f2,
+         CAST((sum(r) + sum(g) + sum(b)) // (3*w*h) AS BIGINT) AS f3,
+         CAST(min(r) AS BIGINT) AS f4,
+         CAST(max(r) AS BIGINT) AS f5,
+         CAST(count(DISTINCT r) AS BIGINT) AS f6,
+         CAST(sum(r*r) // (w*h) AS BIGINT) AS f7
+  FROM px GROUP BY i, w, h
+)
 SELECT CAST(i AS BIGINT) AS media_id,
        CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
             ELSE 'video' END AS kind,
        CASE WHEN i % 3 = 0 THEN CAST(32 + i % 64 AS INTEGER) END AS width,
        CASE WHEN i % 3 = 0 THEN CAST(32 + i % 48 AS INTEGER) END AS height,
-       CAST(64 AS BIGINT) AS n_bytes,
-       {_MM_FCOLS}
-FROM ids JOIN p USING (i)
+       CASE WHEN i % 3 <> 0 THEN CAST(64 AS BIGINT) END AS n_bytes,
+       f0, f1, f2, f3, f4, f5, f6, f7
+FROM ids LEFT JOIN f USING (i)
 """
 
 
