@@ -3,25 +3,88 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <e2e pipeline sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+   "queries": {name: sec, ...}, "query_stats": {name: {"runs": [...],
+   "median": s, "spread_pct": p}}, "sf": <sf>, ...extras}
 
 The headline metric is the end-to-end flagship pipeline
 (parse -> enrich -> route -> aggregate over the transcripts table,
 all four sinks + dropped channel materialized) — the analogue of the
 reference's http_pipelines_blackhole regression case. Extras include
 turns/sec throughput for BENCH.md scaling math.
+
+Noise-proofing (r4 VERDICT: the bench must be self-adjudicating, not
+adjudicated by forensics):
+
+  * the WHOLE process tree is CPU-pinned to cores [0, N) via
+    sched_setaffinity before the JVM starts (taskset equivalent;
+    affinity is inherited by the JVM and every python worker) — on a
+    shared host, unpinned local[N] workers overflow onto neighbor-
+    loaded cores and timings swing up to 1.8x between identical runs;
+  * every query gets 1 warm-up + 3 timed evaluations; the JSON
+    records all three runs, the median (the reported number), and
+    the spread (max-min)/median — a reader can see per-query noise
+    without rerunning anything;
+  * sinks are noop writes, never count(): count() lets Catalyst prune
+    the very columns a query exists to compute.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 
+def _pin_cpus(cores: int) -> bool:
+    """Pin this process (and every child: JVM, python workers) to
+    cores [0, cores). Returns True if pinning took effect."""
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+        return True
+    except (AttributeError, OSError):
+        return False  # non-Linux / restricted: run unpinned
+
+
+def _timed_runs(fn, n_warm: int = 1, n_timed: int = 3, n_max: int = 6) -> dict:
+    """1 warm-up + n_timed timed runs; if the spread is still wide
+    (neighbor-load regime), keep sampling up to n_max so the median
+    converges on the quiet-box floor instead of a noise spike. All
+    runs land in the JSON — the number adjudicates itself."""
+    for _ in range(n_warm):
+        fn()
+    runs = []
+
+    def once():
+        t0 = time.perf_counter()
+        fn()
+        runs.append(round(time.perf_counter() - t0, 3))
+
+    for _ in range(n_timed):
+        once()
+    while (
+        len(runs) < n_max
+        and statistics.median(runs) > 0
+        and (max(runs) - min(runs)) / statistics.median(runs) > 0.4
+    ):
+        once()
+    med = statistics.median(runs)
+    return {
+        "runs": runs,
+        "median": round(med, 3),
+        # the floor is the faithful kernel cost when the box is noisy:
+        # neighbor-load spikes only ever ADD time, never subtract it
+        "floor": min(runs),
+        "spread_pct": round(100.0 * (max(runs) - min(runs)) / med, 1) if med else 0.0,
+    }
+
+
 def run_bench(sf_dir: str, cores: int) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    pinned = _pin_cpus(cores)
+    load_start = os.getloadavg()
+
     from pyspark.sql import functions as F
 
     from vector_spark.queries import QUERIES, transcripts
@@ -31,6 +94,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
 
     # -- headline: end-to-end pipeline ------------------------------------
     tdf = transcripts(spark, sf_dir)
@@ -39,31 +103,28 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     from vector_spark.plans.metrics import StageMetrics
     from vector_spark.plans.transcript_pipeline import run_pipeline_fused
 
-    # warm-up passes (JVM JIT + python-worker startup excluded: the
+    # extra warm-up (JVM JIT + python-worker startup excluded: the
     # baseline metric is sustained throughput under fixed load)
-    for _ in range(2):
-        run_pipeline_fused(spark, tdf).count()
+    run_pipeline_fused(spark, tdf).count()
 
-    runs = []
-    metrics = StageMetrics()
-    sink_counts: dict = {}
-    agg_rows = 0
-    for i in range(3):
+    state: dict = {"metrics": StageMetrics(), "sink_counts": {}, "agg_rows": 0}
+
+    def run_pipeline_once():
         m = StageMetrics()
-        t0 = time.perf_counter()
         fused = run_pipeline_fused(spark, tdf, metrics=m)
         rows = fused.groupBy("sink").agg(
             F.sum("events").alias("n"), F.count(F.lit(1)).alias("groups")
         ).collect()
-        runs.append(time.perf_counter() - t0)
-        sink_counts = {r["sink"]: r["n"] for r in rows}
-        agg_rows = sum(r["groups"] for r in rows)
-        metrics = m
-    runs.sort()
-    e2e = runs[1]  # median of 3
-    timings["pipeline_e2e"] = round(e2e, 3)
-    timings["pipeline_e2e_best"] = round(runs[0], 3)
-    stage = metrics.collect()
+        state["sink_counts"] = {r["sink"]: r["n"] for r in rows}
+        state["agg_rows"] = sum(r["groups"] for r in rows)
+        state["metrics"] = m
+
+    st = _timed_runs(run_pipeline_once, n_warm=1, n_timed=3)
+    e2e = st["median"]
+    timings["pipeline_e2e"] = e2e
+    timings["pipeline_e2e_best"] = min(st["runs"])
+    stats["pipeline_e2e"] = st
+    stage = state["metrics"].collect()
     dropped = int(stage.get("parse_enrich", {}).get("dropped", -1))
 
     # -- secondary headline queries ---------------------------------------
@@ -109,37 +170,42 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_lm_perplexity",
         "dp_pack_chunks",
         "dp_curate_corpus",
+        # round 5 additions
+        "op_parse_grok_json",
+        "mm_features_checked",
     ]
     for name in secondary:
         fn = QUERIES[name]
-        best = None
-        # min of 2 full evaluations: this sandbox is a shared host and
-        # A/B reruns of IDENTICAL commits showed up to 1.8x swings from
-        # neighbor load (r4 bisect); min-of-2 damps that without
-        # changing what is measured — each run still evaluates every
-        # output column into the noop sink.
-        for _ in range(2):
-            t0 = time.perf_counter()
+
+        def run_query(fn=fn):
             # noop sink, NOT count(): count() lets Catalyst prune columns
             # the query exists to compute (dp_simhash's signature UDF was
             # pruned entirely — 0.2 s where the honest cost is ~4 s); the
             # noop write evaluates every output column and discards rows
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+
+        st = _timed_runs(run_query, n_warm=1, n_timed=3)
+        timings[name] = st["median"]
+        stats[name] = st
 
     return {
         "metric": "pipeline_e2e_sec",
         "value": timings["pipeline_e2e"],
         "unit": "sec",
         "queries": timings,
+        "query_stats": stats,
         "sf": float(sf),
         "cores": cores,
+        "pinned": pinned,
+        # box-noise fingerprint: this VM idles at ~0 load; a non-zero
+        # load AT START (before any Spark work) is neighbor traffic,
+        # and wide per-query spreads should be read against the floor
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "turns": n_turns,
         "throughput_turns_per_sec": round(n_turns / e2e, 1),
-        "sink_counts": sink_counts,
-        "agg_rows": agg_rows,
+        "sink_counts": state["sink_counts"],
+        "agg_rows": state["agg_rows"],
         "dropped": dropped,
         "stage_metrics": {k: {m: int(x) for m, x in v.items()} for k, v in stage.items()},
     }
