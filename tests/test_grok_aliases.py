@@ -234,3 +234,44 @@ def test_date_matcher_formats():
     )
     assert re.fullmatch(rx, "2023/10/10 13:55:36")
     assert not re.fullmatch(rx, "2023-10-10 13:55:36")
+
+
+def test_date_matcher_implies_timestamp(spark):
+    """Parity with parse_grok_rules: %{date(fmt):x} resolves to a
+    Date FILTER (matchers/date.rs apply_date_filter), so the typed
+    struct carries a TIMESTAMP, interpreted in the optional tz arg;
+    unparseable text -> NULL."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            ("2023/10/10 13:55:36 ok",),
+            ("10/Oct/2023:13:55:36 -0700 offs",),
+            ("not-a-date x",),
+        ],
+        "line string",
+    )
+    plain = grok_extract_typed(
+        F.col("line"), r'(?s)%{date("yyyy/MM/dd HH:mm:ss"):d} %{word:w}',
+        literal_text=False,
+    )
+    offs = grok_extract_typed(
+        F.col("line"),
+        r'(?s)%{date("dd/MMM/yyyy:HH:mm:ss Z"):d} %{word:w}',
+        literal_text=False,
+    )
+    tz = grok_extract_typed(
+        F.col("line"),
+        r'(?s)%{date("yyyy/MM/dd HH:mm:ss", "Europe/Paris"):d} %{word:w}',
+        literal_text=False,
+    )
+    rows = df.select(
+        plain["d"].alias("p"), offs["d"].alias("o"), tz["d"].alias("t")
+    ).collect()
+    # session tz is UTC: naive parse lands as UTC wall-clock
+    assert rows[0]["p"] == datetime.datetime(2023, 10, 10, 13, 55, 36)
+    # explicit -0700 offset normalizes to UTC
+    assert rows[1]["o"] == datetime.datetime(2023, 10, 10, 20, 55, 36)
+    # tz arg: the naive datetime is IN Paris time (UTC+2 on that date)
+    assert rows[0]["t"] == datetime.datetime(2023, 10, 10, 11, 55, 36)
+    assert rows[2]["p"] is None and rows[2]["o"] is None and rows[2]["t"] is None

@@ -352,7 +352,9 @@ def compile_grok(
         if m and m.group(1) == "regex":
             return f"(?:{_unquote(m.group(2))})"
         if m and m.group(1) == "date":
-            return f"(?:{_date_format_regex(_unquote(m.group(2)))})"
+            # date("format"[, "tz"]): only the FORMAT shapes the regex
+            fmt = _unquote(_split_filter_args(m.group(2))[0])
+            return f"(?:{_date_format_regex(fmt)})"
         key = matcher if matcher in GROK_PATTERNS else _DD_TO_GROK.get(matcher)
         if key is None:
             raise ValueError(f"unknown grok syntax %{{{matcher}}}")
@@ -387,6 +389,13 @@ def compile_grok(
                     # (matchers/mod.rs): %{integer:f} coerces like an
                     # explicit :integer filter would
                     filters[name] = _TYPED_MATCHERS[matcher]
+                elif matcher.startswith("date("):
+                    # the date matcher IMPLIES a Date filter in the
+                    # reference (parse_grok_rules resolves %{date(f):x}
+                    # to a DateFilter; apply_date_filter converts the
+                    # matched text to a timestamp) — carry the full
+                    # matcher spelling as the filter
+                    filters[name] = matcher
                 gname = _sanitize_groups(fields)[-1]
                 sub = matcher_regex(matcher, depth)
                 # java flavor: named groups too ((?<gN>, java-legal
@@ -728,6 +737,24 @@ def apply_grok_filter(col: Column, filt: str) -> Column:
         return F.try_parse_json(col)
     if filt == "array" or filt.startswith("array("):
         return _dd_array(col, filt)
+    if filt.startswith("date("):
+        # matchers/date.rs apply_date_filter: parse the matched text
+        # with the (Java SimpleDateFormat-style) format -> timestamp.
+        # Spark's datetime patterns use the same letters, so the
+        # format passes through; the optional 2nd arg is the timezone
+        # naive datetimes are IN (date.rs parse_timezone) — with the
+        # engine's session tz pinned to UTC, to_utc_timestamp performs
+        # exactly that reinterpretation. Unparseable text -> NULL (the
+        # reference's filter-failure path).
+        m = re.match(r"^date\((.*)\)$", filt, re.S)
+        args = _split_filter_args(m.group(1)) if m else []
+        if not args:
+            raise ValueError(f"date filter needs a format: {filt!r}")
+        fmt = _unquote(args[0])
+        ts = F.try_to_timestamp(col, F.lit(fmt))
+        if len(args) > 1:
+            ts = F.to_utc_timestamp(ts, _unquote(args[1]))
+        return ts
     if filt == "boolean":
         return F.lower(col) == "true"
     if filt == "lowercase":

@@ -3059,17 +3059,21 @@ def q_op_parse_grok_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken = F.pmod(F.col("event_id"), F.lit(11)) == 0
     line = F.concat_ws(
         " ",
+        F.date_format("ts", "yyyy/MM/dd HH:mm:ss"),
         level,
         F.when(broken, F.substring(payload, 1, 8)).otherwise(payload),
     )
     st = grok_extract_typed(
         line,
-        "%{word:level} %{data:payload:json}",
+        '%{date("yyyy/MM/dd HH:mm:ss"):ts} %{word:level} %{data:payload:json}',
         engine="native",
         literal_text=False,
     )
     return ev.select(F.col("event_id"), st.alias("g")).select(
         "event_id",
+        # the date matcher IMPLIES the Date filter (r5): string ->
+        # timestamp; surfaced as epoch seconds for the oracle compare
+        F.unix_timestamp(F.col("g.ts")).cast("bigint").alias("ts_epoch"),
         F.col("g.level").alias("level"),
         F.try_variant_get(F.col("g.payload"), "$.code", "bigint").alias("code"),
         F.try_variant_get(F.col("g.payload"), "$.dur_ms", "bigint").alias("dur_ms"),
@@ -3082,6 +3086,7 @@ def q_op_parse_grok_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mangles anything, the engine side diverges and the hash catches it
 SQL_OP_PARSE_GROK_JSON = """
 SELECT event_id,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_epoch,
        ['ERROR','WARN','INFO'][CAST(event_id % 3 AS INT) + 1] AS level,
        CASE WHEN event_id % 11 = 0 THEN NULL
             ELSE CAST(500 + event_id % 5 AS BIGINT) END AS code,
@@ -3144,26 +3149,70 @@ SELECT '_unmatched', CAST(0 AS BIGINT)
 # stable remainder; the >50 tail holds only queries untouched this
 # round whose green evidence is freshest (previous round's gate).
 QUERIES = {
-    # -- new this round (r5)
+    # -- new or plan/oracle changed this round (r5): grok json filter
+    # query; multimodal rewritten onto the real PNG codec (decoder,
+    # synth payloads, and oracle all changed); packing gained the
+    # localCheckpoint layout pin; lm_quality gained the materialize
+    # lifecycle; components gained the dual-hash fixpoint test
     "op_parse_grok_json": q_op_parse_grok_json,
-    # -- new in r4
-    "op_line_agg_modes": q_op_line_agg_modes,
-    "op_agg_sketch": q_op_agg_sketch,
-    "op_agg_sketch_merge": q_op_agg_sketch_merge,
-    "dp_dup_groups": q_dp_dup_groups,
-    "dp_dedup_keep": q_dp_dedup_keep,
-    "dp_stratified_sample": q_dp_stratified_sample,
-    "dp_tfidf_terms": q_dp_tfidf_terms,
-    "dp_span_dedup": q_dp_span_dedup,
-    "dp_redact": q_dp_redact,
-    "dp_lm_perplexity": q_dp_lm_perplexity,
-    "dp_lm_heldout": q_dp_lm_heldout,
+    "mm_features_checked": q_mm_features_checked,
+    "mm_features": q_mm_features,  # rows-only
     "dp_pack_chunks": q_dp_pack_chunks,
     "dp_pack_manifest": q_dp_pack_manifest,
     "dp_pack_shuffled": q_dp_pack_shuffled,
+    "dp_dup_groups": q_dp_dup_groups,
+    "dp_dedup_keep": q_dp_dedup_keep,
+    "dp_lm_perplexity": q_dp_lm_perplexity,
+    "dp_lm_heldout": q_dp_lm_heldout,
     "dp_curate_corpus": q_dp_curate_corpus,
-    # -- plan changed in r4 (grok keyvalue signature + root-map merge,
-    # dd-search mixed-bracket rejection, vrl decode_percent fallible)
+    # -- evidence rotation, third cycle: every entry whose newest
+    # driver row is r3 (the full 32-entry list from the r4 VERDICT,
+    # minus mm_* which moved up as r5-changed); after this gate no
+    # registry entry's newest driver evidence is older than r4
+    "dp_ann_bucketed": q_dp_ann_bucketed,
+    "dp_ann_ivf": q_dp_ann_ivf,
+    "dp_ann_multiprobe": q_dp_ann_multiprobe,
+    "dp_cosine_near_dup_bucketed": q_dp_cosine_near_dup_bucketed,
+    "op_decode_avro": q_op_decode_avro,
+    "op_decode_native_proto": q_op_decode_native_proto,
+    "op_decode_gelf": q_op_decode_gelf,
+    "op_decode_statsd": q_op_decode_statsd,
+    "op_decode_prometheus": q_op_decode_prometheus,
+    "op_agg_salted": q_op_agg_salted,
+    "op_route_kind": q_op_route_kind,
+    "op_route_events": q_op_route_events,
+    "dp_repetition": q_dp_repetition,
+    "dp_decontaminate": q_dp_decontaminate,
+    "dp_split": q_dp_split,
+    "dp_top_words": q_dp_top_words,
+    "dp_minhash_sig": q_dp_minhash_sig,
+    "dp_fingerprint": q_dp_fingerprint,
+    "dp_bpe_tokens": q_dp_bpe_tokens,
+    "dp_clean_corpus": q_dp_clean_corpus,
+    "op_agg_hourly": q_op_agg_hourly,
+    "op_aggregate_metrics": q_op_aggregate_metrics,
+    "op_agg_set": q_op_agg_set,
+    "op_agg_histogram": q_op_agg_histogram,
+    "op_log_to_metric": q_op_log_to_metric,
+    "op_log_to_metric_histogram": q_op_log_to_metric_histogram,
+    "op_sample_counter": q_op_sample_counter,
+    "op_reduce_sessions": q_op_reduce_sessions,
+    "pipe_agg_all": q_pipe_agg_all,
+    "pipe_route_slow": _route_keys("slow"),
+    "op_dedupe": q_op_dedupe,
+    "op_cardinality": q_op_cardinality,
+    # -- filler to 50: r4-checked entries nearest the changed modules
+    # (sketch/line_agg/span/redact/mixing share code paths with r5
+    # work), so the freshest evidence lands where change risk is
+    "op_agg_sketch": q_op_agg_sketch,
+    "op_agg_sketch_merge": q_op_agg_sketch_merge,
+    "op_line_agg_modes": q_op_line_agg_modes,
+    "dp_span_dedup": q_dp_span_dedup,
+    "dp_redact": q_dp_redact,
+    "dp_stratified_sample": q_dp_stratified_sample,
+    "dp_tfidf_terms": q_dp_tfidf_terms,
+    # ---- >50 tail: r4 driver rows (one round old), value-checked
+    # every CI run by test_oracle_parity at sf0.01 and sf0.1 ----
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
     "pipe_parse_typed": q_pipe_parse_typed,
     "op_parse_combined": q_op_parse_combined,
@@ -3171,8 +3220,6 @@ QUERIES = {
     "op_parse_access_log": q_op_parse_access_log,
     "op_route_ddsearch": q_op_route_ddsearch,
     "op_vrl_strings": q_op_vrl_strings,
-    # -- evidence rotation: last driver check r1/r2 (the 19-entry tail
-    # of the r3 registry); no entry may go 3 rounds without a row
     "dp_jaccard_pairs": q_dp_jaccard_pairs,
     "dp_cosine_topk": q_dp_cosine_topk,
     "dp_exact_dedup": q_dp_exact_dedup,
@@ -3192,57 +3239,15 @@ QUERIES = {
     "op_line_agg": q_op_line_agg,
     "tpch_q1": q_tpch_q1,
     "orders_by_segment": q_orders_by_segment,
-    # -- flagship pipeline (headline path: keep under the gate)
     "pipe_dropped": q_pipe_dropped,
     "pipe_enrich_tools": q_pipe_enrich_tools,
     "pipe_route_errors": _route_keys("errors"),
     "pipe_route_tool_calls": _route_keys("tool_calls"),
     "pipe_route_unmatched": _route_keys("_unmatched"),
     "pipe_agg_errors": q_pipe_agg_errors,
-    # r4-rebatched simhash pair (must stay inside the window with
-    # dp_simhash) and the LSH pair path the r4 components queries ride
     "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
     "dp_simhash": q_dp_simhash,
     "dp_simhash_pairs": q_dp_simhash_pairs,
-    # ---- >50 tail: r3-green evidence, value-checked every CI run ----
-    # pipe_agg_all / pipe_route_slow: same parse lineage as the
-    # in-window pipe_agg_errors / pipe_route_{errors,tool_calls,
-    # unmatched}, differing only by sink filter — least-information
-    # drops when new r4 queries need window slots
-    "pipe_agg_all": q_pipe_agg_all,
-    "pipe_route_slow": _route_keys("slow"),
-    "op_dedupe": q_op_dedupe,
-    "op_cardinality": q_op_cardinality,
-    "dp_cosine_near_dup_bucketed": q_dp_cosine_near_dup_bucketed,
-    "dp_ann_bucketed": q_dp_ann_bucketed,
-    "dp_ann_ivf": q_dp_ann_ivf,
-    "op_decode_avro": q_op_decode_avro,
-    "op_decode_native_proto": q_op_decode_native_proto,
-    "op_route_kind": q_op_route_kind,
-    "op_agg_salted": q_op_agg_salted,
-    "mm_features_checked": q_mm_features_checked,
-    "mm_features": q_mm_features,  # rows-only
-    "dp_ann_multiprobe": q_dp_ann_multiprobe,
-    "dp_repetition": q_dp_repetition,
-    "dp_decontaminate": q_dp_decontaminate,
-    "dp_split": q_dp_split,
-    "dp_top_words": q_dp_top_words,
-    "dp_minhash_sig": q_dp_minhash_sig,
-    "dp_fingerprint": q_dp_fingerprint,
-    "dp_bpe_tokens": q_dp_bpe_tokens,
-    "dp_clean_corpus": q_dp_clean_corpus,
-    "op_aggregate_metrics": q_op_aggregate_metrics,
-    "op_agg_histogram": q_op_agg_histogram,
-    "op_log_to_metric_histogram": q_op_log_to_metric_histogram,
-    "op_agg_set": q_op_agg_set,
-    "op_log_to_metric": q_op_log_to_metric,
-    "op_agg_hourly": q_op_agg_hourly,
-    "op_route_events": q_op_route_events,
-    "op_decode_gelf": q_op_decode_gelf,
-    "op_decode_statsd": q_op_decode_statsd,
-    "op_decode_prometheus": q_op_decode_prometheus,
-    "op_sample_counter": q_op_sample_counter,
-    "op_reduce_sessions": q_op_reduce_sessions,
 }
 
 ORACLES = {
