@@ -302,3 +302,44 @@ def top_words(
     words = df.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("word")).limit(k)
+
+
+def sample_n_per_stratum(
+    df: DataFrame,
+    strata_cols: tuple[str, ...] = ("lang",),
+    n: int = 25,
+    id_col: str = "doc_id",
+    salt: str = "stratn-v1",
+) -> DataFrame:
+    """Exact fixed-N per-stratum sampling — the EVAL-SET construction
+    primitive: "give me exactly N docs per language", deterministic
+    across runs, engines and cluster sizes. Complements
+    `stratified_sample` (fraction-based, zero-shuffle): when the
+    quota is a COUNT, a hash threshold cannot hit it exactly, so rank
+    the stratum by the portable salted hash (independent of split and
+    stratified-sample decisions — different salt) and keep the first
+    N; doc id breaks the (practically impossible) hash ties so the
+    pick is total-ordered.
+
+    100 TB design: ONE shuffle on the stratum key, and the
+    row_number <= N predicate compiles to WindowGroupLimit
+    (partial + final), so each map task forwards at most N rows per
+    stratum — a billion-doc language costs the exchange N rows, not
+    a billion. No global sort, no driver state.
+
+    Returns the input columns plus `stratum` and `rn` (1-based rank
+    within the stratum).
+    """
+    from pyspark.sql import Window
+
+    from vector_spark.functions.hashes import salted_long
+
+    stratum = F.concat_ws("|", *[F.col(c) for c in strata_cols])
+    w = Window.partitionBy(stratum).orderBy(
+        salted_long(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("stratum", stratum)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= n)
+    )

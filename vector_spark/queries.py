@@ -1027,6 +1027,90 @@ FROM b
 """
 
 
+def q_dp_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-N per-stratum sampling (eval-set construction):
+    exactly 25 docs per language, picked by the portable salted hash,
+    rank surfaced so the oracle checks the ORDER, not just the set."""
+    from vector_spark.datapipe.textstats import sample_n_per_stratum
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return sample_n_per_stratum(docs, ("lang",), n=25).select(
+        "doc_id", "stratum", "rn"
+    )
+
+
+# same salted_long recipe as SQL_DP_SPLIT (md5 15-hex-prefix), salt
+# 'stratn-v1'; doc_id tie-break mirrors the Spark window order
+SQL_DP_SAMPLE_N = r"""
+WITH o AS (
+  SELECT doc_id, lang AS stratum,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(concat('0x', substr(md5(doc_id::VARCHAR || ':stratn-v1'), 1, 15))
+                         AS BIGINT), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, stratum, CAST(rn AS BIGINT) AS rn FROM o WHERE rn <= 25
+"""
+
+
+def q_dp_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over a synthesized crawl listing: six spelling
+    variants per page key (scheme/www/default-port/trailing-slash/
+    fragment/tracker-param/query-order noise), canonicalized and
+    collapsed to (canon_url, keep_id, n_dups). The oracle re-derives
+    the same listing AND re-implements the whole canonical recipe
+    independently in SQL (urls.canonical_cte_chain_sql), so any
+    divergence in the normalization itself — not just the groupBy —
+    breaks the hash."""
+    from vector_spark.datapipe.urls import url_dedup_keys
+
+    docs = _tbl(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("Example"), F.pmod(F.col("doc_id"), F.lit(37)), F.lit(".COM")
+    )
+    path = F.concat(F.lit("/p/"), F.pmod(F.col("doc_id"), F.lit(101)))
+    v = F.pmod(F.col("doc_id"), F.lit(6))
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), F.lower(host), path))
+        .when(v == 1, F.concat(F.lit("https://www."), host, path, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443"), path, F.lit("?b=2&a=1")))
+        .when(v == 3, F.concat(F.lit("http://"), F.lower(host), F.lit(":80"), path, F.lit("?a=1&b=2&utm_source=x")))
+        .when(v == 4, F.concat(F.lit("https://"), host, path, F.lit("#frag")))
+        .otherwise(F.concat(F.lower(host), path, F.lit("?utm_campaign=y&b=2&a=1")))
+    )
+    return url_dedup_keys(docs.select("doc_id", url.alias("url")), "doc_id", "url")
+
+
+def _sql_dp_url_dedup() -> str:
+    from vector_spark.datapipe.urls import canonical_cte_chain_sql
+
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'http://' || lower('Example' || (doc_id % 37) || '.COM')
+                  || '/p/' || (doc_id % 101)
+      WHEN 1 THEN 'https://www.Example' || (doc_id % 37) || '.COM'
+                  || '/p/' || (doc_id % 101) || '/'
+      WHEN 2 THEN 'https://Example' || (doc_id % 37) || '.COM:443'
+                  || '/p/' || (doc_id % 101) || '?b=2&a=1'
+      WHEN 3 THEN 'http://' || lower('Example' || (doc_id % 37) || '.COM') || ':80'
+                  || '/p/' || (doc_id % 101) || '?a=1&b=2&utm_source=x'
+      WHEN 4 THEN 'https://Example' || (doc_id % 37) || '.COM'
+                  || '/p/' || (doc_id % 101) || '#frag'
+      ELSE lower('Example' || (doc_id % 37) || '.COM')
+           || '/p/' || (doc_id % 101) || '?utm_campaign=y&b=2&a=1'
+    END AS url
+  FROM documents),
+{canonical_cte_chain_sql(src="u", keep="doc_id")}
+SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM _canon GROUP BY canon_url
+"""
+
+
+SQL_DP_URL_DEDUP = _sql_dp_url_dedup()
+
+
 def q_dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_spark.datapipe.textstats import stratified_sample
 
@@ -3155,6 +3239,8 @@ QUERIES = {
     # localCheckpoint layout pin; lm_quality gained the materialize
     # lifecycle; components gained the dual-hash fixpoint test
     "op_parse_grok_json": q_op_parse_grok_json,
+    "dp_url_dedup": q_dp_url_dedup,
+    "dp_sample_n": q_dp_sample_n,
     "mm_features_checked": q_mm_features_checked,
     "mm_features": q_mm_features,  # rows-only
     "dp_pack_chunks": q_dp_pack_chunks,
@@ -3209,10 +3295,12 @@ QUERIES = {
     "op_line_agg_modes": q_op_line_agg_modes,
     "dp_span_dedup": q_dp_span_dedup,
     "dp_redact": q_dp_redact,
+    # ---- >50 tail: r4 driver rows (one round old), value-checked
+    # every CI run by test_oracle_parity at sf0.01 and sf0.1;
+    # dp_stratified_sample/dp_tfidf_terms slid here when the two
+    # r5-new url/sampling entries took their window slots ----
     "dp_stratified_sample": q_dp_stratified_sample,
     "dp_tfidf_terms": q_dp_tfidf_terms,
-    # ---- >50 tail: r4 driver rows (one round old), value-checked
-    # every CI run by test_oracle_parity at sf0.01 and sf0.1 ----
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
     "pipe_parse_typed": q_pipe_parse_typed,
     "op_parse_combined": q_op_parse_combined,
@@ -3300,6 +3388,8 @@ ORACLES = {
     "op_line_agg": SQL_OP_LINE_AGG,
     "op_line_agg_modes": SQL_OP_LINE_AGG_MODES,
     "dp_stratified_sample": SQL_DP_STRATIFIED_SAMPLE,
+    "dp_url_dedup": SQL_DP_URL_DEDUP,
+    "dp_sample_n": SQL_DP_SAMPLE_N,
     "dp_tfidf_terms": SQL_DP_TFIDF_TERMS,
     "op_agg_sketch": SQL_OP_AGG_SKETCH,
     # same oracle on purpose: merged daily sketches must be
