@@ -25,7 +25,11 @@ adjudicated by forensics):
     the spread (max-min)/median — a reader can see per-query noise
     without rerunning anything;
   * sinks are noop writes, never count(): count() lets Catalyst prune
-    the very columns a query exists to compute.
+    the very columns a query exists to compute;
+  * a single-thread memcpy probe runs before and after the bench:
+    this host's memory-bandwidth service can degrade ~100x with
+    loadavg near zero (host-side contention), and the probe makes
+    that regime visible IN the JSON (quiet >2 GB/s, degraded ~0.0x).
 """
 
 from __future__ import annotations
@@ -45,6 +49,30 @@ def _pin_cpus(cores: int) -> bool:
         return True
     except (AttributeError, OSError):
         return False  # non-Linux / restricted: run unpinned
+
+
+def _bw_probe_gbps(mb: int = 200) -> float:
+    """Single-thread memcpy bandwidth (GB/s) — the regime fingerprint
+    loadavg cannot see. This sandbox sits on shared hardware whose
+    page-fault/memory-bandwidth service can degrade ~100x (measured
+    0.01 GB/s against a >2 GB/s quiet floor) with loadavg NEAR ZERO:
+    the contention is host-side, invisible to in-VM process lists.
+    One allocate-and-copy makes the regime self-evident in the JSON:
+    read a wide-spread bench file against this number, not just
+    loadavg."""
+    import time as _t
+
+    try:
+        import numpy as _np
+
+        a = _np.ones(mb * 1_000_000, dtype=_np.uint8)
+        t0 = _t.perf_counter()
+        b = a.copy()
+        dt = _t.perf_counter() - t0
+        del a, b
+        return round(mb / 1000.0 / dt, 2) if dt > 0 else 0.0
+    except Exception:
+        return -1.0  # probe unavailable; never break the bench
 
 
 def _timed_runs(fn, n_warm: int = 1, n_timed: int = 3, n_max: int = 6) -> dict:
@@ -84,6 +112,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     pinned = _pin_cpus(cores)
     load_start = os.getloadavg()
+    bw_start = _bw_probe_gbps()
 
     from pyspark.sql import functions as F
 
@@ -202,6 +231,10 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         # and wide per-query spreads should be read against the floor
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # memory-bandwidth fingerprint (see _bw_probe_gbps): quiet box
+        # reads >2; the degraded host regime reads ~0.0x
+        "bw_probe_gbps_start": bw_start,
+        "bw_probe_gbps_end": _bw_probe_gbps(),
         "turns": n_turns,
         "throughput_turns_per_sec": round(n_turns / e2e, 1),
         "sink_counts": state["sink_counts"],

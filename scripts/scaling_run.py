@@ -61,8 +61,16 @@ for i in range(3):
     run_pipeline_fused(spark, tdf, metrics=m if i == 2 else None).count()
     runs.append(time.perf_counter() - t0)
 runs.sort()
+# memory-bandwidth regime fingerprint: this host's page-fault /
+# bandwidth service can degrade ~100x with in-VM loadavg near zero
+# (host-side contention). Quiet box reads >2 GB/s; a level recorded
+# at ~0.0x is NOT comparable to a quiet-box level.
+import numpy as _np
+_a = _np.ones(200_000_000, dtype=_np.uint8)
+_t0 = time.perf_counter(); _b = _a.copy(); _dt = time.perf_counter() - _t0
 print("RESULT::" + json.dumps({{
     "cores": {cores}, "turns": n, "sec_median": round(runs[1], 3),
+    "bw_probe_gbps": round(0.2 / _dt, 2) if _dt > 0 else 0.0,
     "sec_all": [round(r, 3) for r in runs],
     "throughput": round(n / runs[1], 1),
     "text_mb_per_sec": round(text_bytes / runs[1] / 1e6, 1),
