@@ -164,6 +164,14 @@ def main() -> None:
         "Composed curation chain, one-projection signals + LM gate (dp_curate_corpus)",
         QUERIES["dp_curate_corpus"](spark, sf_dir),
     )
+    add(
+        "URL canonicalization + URL-level dedup, single combinable groupBy (dp_url_dedup)",
+        QUERIES["dp_url_dedup"](spark, sf_dir),
+    )
+    add(
+        "Exact fixed-N per-stratum sample, WindowGroupLimit pushdown (dp_sample_n)",
+        QUERIES["dp_sample_n"](spark, sf_dir),
+    )
 
     md = [
         "# PLANS — physical plans of the flagship paths\n",
@@ -207,6 +215,11 @@ def main() -> None:
         "the LM: its runtime corpus-scale data movement is the LM's 3",
         "shuffles + the doc-keyed signal/LM join + ONE fingerprint",
         "keep-first window (profiled additive in BENCH.md).\n",
+        "Packing note: its `Scan ExistingRDD` leaves are the",
+        "localCheckpoint that PINS the range-partitioned layout before",
+        "the cumsum/total branches fan out (r5 fix) — correct offsets",
+        "no longer depend on exchange-reuse canonicalization, and the",
+        "pre-checkpoint lineage (range exchange included) runs once.\n",
     ]
     for title, plan, simple in sections:
         md.append(f"\n## {title}\n")
