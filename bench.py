@@ -202,6 +202,9 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         # round 5 additions
         "op_parse_grok_json",
         "mm_features_checked",
+        "dp_url_dedup",
+        "dp_sample_n",
+        "dp_semantic_dedup",
     ]
     for name in secondary:
         fn = QUERIES[name]

@@ -338,3 +338,47 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "rank", "sim")
     )
+
+
+def semantic_dedup_keep(
+    docs: DataFrame,
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quality_col: Column | None = None,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): documents whose EMBEDDINGS are near-identical
+    count as duplicates even when their text differs (paraphrases,
+    boilerplate rewrites, translations back-translated) — the dedup
+    the text-hash family (exact/minhash/simhash) cannot see. Keeps
+    one document per semantic group; returns the kept docs rows
+    (left_semi, same contract as ``components.dedup_keep_best``).
+
+    Composition of the certified scale paths, no new kernel:
+
+      1. candidate pairs = ``cosine_near_dup_pairs`` (quantization-
+         bucket equi-join — SemDeDup's k-means-cluster-then-compare
+         shape with the coarse quantizer standing in for k-means; no
+         cross join, degenerate cells capped at ``max_bucket``),
+      2. groups = ``connected_components`` (large/small-star) over
+         the pair set — SemDeDup keeps one per epsilon-ball; the
+         transitive closure makes that rerun-stable when balls chain,
+      3. keep = ``dedup_keep_best``: highest ``quality_col`` (default
+         text length), ties to min id.
+
+    100 TB shape: pair generation is the bucket equi-join (largest
+    data movement: one exchange of (id, vec, bucket)); components run
+    O(log n) rounds over the PAIR set only (near-dup pairs, orders of
+    magnitude smaller than the corpus); the final keep is one
+    combinable min_by shuffle plus a left_semi join back to docs.
+    """
+    from vector_spark.datapipe.components import dedup_keep_best
+
+    pairs = cosine_near_dup_pairs(
+        vectors, vec_id_col, vec_col, threshold, max_bucket=max_bucket
+    ).select("id_a", "id_b")
+    return dedup_keep_best(docs, pairs, id_col=id_col, quality_col=quality_col)

@@ -1785,6 +1785,24 @@ def q_dp_cosine_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_dp_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: one doc kept per group of
+    embedding-near-identical documents (bucketed cosine pairs ->
+    connected components -> keep longest text, ties min doc_id).
+    The oracle independently recomputes the bucketed pair set in SQL
+    and closes it with a recursive CTE — the same two derivations the
+    dp_dup_groups/dp_dedup_keep oracles certify, here composed over
+    the EMBEDDING pair path instead of the minhash pair path."""
+    from vector_spark.datapipe.similarity import semantic_dedup_keep
+
+    docs = _tbl(spark, sf_dir, "documents")
+    emb = _tbl(spark, sf_dir, "embeddings")
+    # 0.3 (vs the near-dup queries' 0.4) so the pair graph actually
+    # CHAINS at test scale — the transitive closure is the part of
+    # this op the pair queries don't already certify
+    return semantic_dedup_keep(docs, emb, threshold=0.3).select("doc_id")
+
+
 SQL_DP_COSINE_NEAR_DUP = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
 scored AS (
@@ -1901,6 +1919,44 @@ scored AS (
                (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))), 6) AS sim
   FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4
+"""
+
+# Semantic dedup oracle: the bucketed pair CTE above + the recursive
+# transitive closure + keep-best ranking of SQL_DP_DEDUP_KEEP, over
+# the embedding pair set (pairs restricted to a shared quantization
+# cell, cells capped at 10k — mirrors cosine_near_dup_pairs exactly).
+SQL_DP_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE
+v0 AS (SELECT vec_id, embedding::DOUBLE[] AS vv, {_BUCKET_SQL} AS bucket
+       FROM embeddings),
+v AS (SELECT vec_id, vv, bucket FROM (
+        SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM v0)
+      WHERE bsz <= 10000),
+pairs AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.vv, b.vv) /
+        (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))), 6)
+        >= 0.3),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, lab) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+grp AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+ranked AS (
+  SELECT g.doc_id,
+         row_number() OVER (
+           PARTITION BY g.group_id
+           ORDER BY length(d.text) DESC, g.doc_id) AS rn
+  FROM grp g JOIN documents d ON d.doc_id = g.doc_id)
+SELECT doc_id FROM ranked WHERE rn = 1
 """
 
 
@@ -3241,6 +3297,7 @@ QUERIES = {
     "op_parse_grok_json": q_op_parse_grok_json,
     "dp_url_dedup": q_dp_url_dedup,
     "dp_sample_n": q_dp_sample_n,
+    "dp_semantic_dedup": q_dp_semantic_dedup,
     "mm_features_checked": q_mm_features_checked,
     "mm_features": q_mm_features,  # rows-only
     "dp_pack_chunks": q_dp_pack_chunks,
@@ -3397,6 +3454,7 @@ ORACLES = {
     "op_agg_sketch_merge": SQL_OP_AGG_SKETCH,
     "dp_dup_groups": SQL_DP_DUP_GROUPS,
     "dp_dedup_keep": SQL_DP_DEDUP_KEEP,
+    "dp_semantic_dedup": SQL_DP_SEMANTIC_DEDUP,
     "op_enrich_dim": SQL_OP_ENRICH_DIM,
     "op_log_to_metric": SQL_OP_LOG_TO_METRIC,
     "tpch_q1": SQL_TPCH_Q1,
