@@ -172,6 +172,10 @@ def main() -> None:
         "Exact fixed-N per-stratum sample, WindowGroupLimit pushdown (dp_sample_n)",
         QUERIES["dp_sample_n"](spark, sf_dir),
     )
+    add(
+        "Semantic dedup, bucketed pairs + components + keep-best (dp_semantic_dedup)",
+        QUERIES["dp_semantic_dedup"](spark, sf_dir),
+    )
 
     md = [
         "# PLANS — physical plans of the flagship paths\n",
