@@ -124,3 +124,51 @@ def test_url_dedup_plan_single_exchange_no_python(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_canonicalize_cross_engine_grid(spark):
+    """Exhaustive component-grid parity: every combination of scheme x
+    www-prefix x host x port x path x query x fragment through BOTH
+    derivations — Spark `canonicalize_url` and the DuckDB CTE chain
+    (`canonical_cte_chain_sql`) — must agree byte-for-byte. This is
+    the drift alarm for the two-implementations-in-one-module design:
+    any future edit to one recipe that misses the other fails here,
+    not just on whatever URLs the oracle corpus happens to contain."""
+    import itertools
+
+    import duckdb
+
+    from vector_spark.datapipe.urls import canonical_cte_chain_sql
+
+    grid = itertools.product(
+        ["", "http://", "https://"],
+        ["", "www.", "WWW."],
+        ["Example.COM", "h.io"],
+        ["", ":80", ":443", ":8080"],
+        ["", "/", "/a/b", "/a/b/", "/A//"],
+        ["", "?", "?b=2&a=1", "?utm_s=1&a=1&&", "?utm_only=1"],
+        ["", "#frag"],
+    )
+    urls = ["".join(parts) for parts in grid]
+    rows = list(enumerate(urls))
+
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {
+        r.doc_id: r.canon
+        for r in df.select(
+            "doc_id", canonicalize_url(F.col("url")).alias("canon")
+        ).collect()
+    }
+
+    values = ", ".join(f"({i}, '{u}')" for i, u in rows)
+    sql = (
+        f"WITH u AS (SELECT * FROM (VALUES {values}) AS t(doc_id, url)),"
+        + canonical_cte_chain_sql(src="u", keep="doc_id")
+        + " SELECT doc_id, canon_url FROM _canon"
+    )
+    want = dict(duckdb.sql(sql).fetchall())
+
+    diffs = {
+        urls[i]: (got[i], want[i]) for i in range(len(urls)) if got[i] != want[i]
+    }
+    assert not diffs, f"{len(diffs)} divergent URLs, first: {list(diffs.items())[:5]}"
