@@ -205,6 +205,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_url_dedup",
         "dp_sample_n",
         "dp_semantic_dedup",
+        "mm_audio_checked",
     ]
     for name in secondary:
         fn = QUERIES[name]

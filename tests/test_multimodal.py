@@ -61,7 +61,11 @@ def test_extract_features_shapes(spark):
             assert r.height == 32 + r.media_id % 48
             assert len(r.feature) == 8
             assert r.n_bytes > 64  # real PNG payload, not the 64-byte fake
-        else:  # non-selected kinds: metadata-only rows, no decode
+        elif r.kind == "audio":  # non-selected: metadata-only, no decode
+            assert r.feature is None
+            # real WAV payload: canonical 44-byte header + int16 frames
+            assert r.n_bytes == 44 + 2 * (256 + r.media_id % 128)
+        else:
             assert r.feature is None
             assert r.n_bytes == 64
 
@@ -84,6 +88,8 @@ def test_resize_composes_with_features(spark):
             assert r.meta["w"] == "16" and r.meta["h"] == "16"
             # the payload is a REAL 16x16 PNG
             assert png_decode(bytes(r.payload)).shape == (16, 16, 3)
+        elif r.kind == "audio":  # pass-through, untouched real WAV
+            assert len(r.payload) == 44 + 2 * (256 + mid % 128)
         else:  # pass-through
             assert r.payload is not None and len(r.payload) == 64
     # resized output keeps the MEDIA shape: feature pass composes
@@ -107,3 +113,96 @@ def test_resize_deterministic(spark):
     a = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 8).collect()}
     b = {r.media_id: bytes(r.payload) for r in resize_images(media, 8, 8).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def test_wav_codec_roundtrip_shapes():
+    from vector_spark.datapipe.wav_codec import wav_decode, wav_encode
+
+    mono = (np.arange(300) % 4096).astype(np.int16)
+    out, rate = wav_decode(wav_encode(mono, 8000))
+    assert rate == 8000 and out.shape == (300, 1)
+    assert np.array_equal(out[:, 0], mono)
+
+    stereo = np.stack([mono, (mono * 2) % 4096], axis=1).astype(np.int16)
+    out2, rate2 = wav_decode(wav_encode(stereo, 44100))
+    assert rate2 == 44100 and out2.shape == (300, 2)
+    assert np.array_equal(out2, stereo)
+    # negative samples survive (int16 two's complement)
+    neg = np.array([-32768, -1, 0, 1, 32767], dtype=np.int16)
+    out3, _ = wav_decode(wav_encode(neg, 8000))
+    assert np.array_equal(out3[:, 0], neg)
+
+
+def test_wav_decode_foreign_chunk_layout():
+    """Spec-valid files we didn't write: an extra LIST chunk with an
+    odd size (padded to the word boundary per the RIFF rule) sitting
+    BEFORE fmt/data must be skipped cleanly."""
+    import struct
+
+    from vector_spark.datapipe.wav_codec import wav_decode, wav_encode
+
+    mono = (np.arange(64) % 4096).astype(np.int16)
+    canonical = wav_encode(mono, 16000)
+    # splice an odd-sized junk chunk right after the 12-byte header
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    body = canonical[12:]
+    spliced = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(junk) + len(body))
+        + b"WAVE"
+        + junk
+        + body
+    )
+    out, rate = wav_decode(spliced)
+    assert rate == 16000
+    assert np.array_equal(out[:, 0], mono)
+
+
+def test_wav_decode_rejects_garbage():
+    from vector_spark.datapipe.wav_codec import wav_decode
+
+    with pytest.raises(ValueError):
+        wav_decode(b"not a wav at all")
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_audio_features_from_real_samples(spark):
+    from vector_spark.datapipe.multimodal import (
+        extract_features,
+        synth_media_df,
+        synth_samples,
+        wav_audio_decoder,
+    )
+
+    feats = (
+        extract_features(
+            synth_media_df(spark, n=30),
+            decoder=wav_audio_decoder,
+            batch_kinds=("audio",),
+        )
+        .filter("kind = 'audio'")
+        .collect()
+    )
+    assert len(feats) == 10
+    by_id = {r.media_id: r for r in feats}
+    for i in (1, 7, 25):
+        s, rate = synth_samples(i)
+        s64 = s.astype(np.int64)
+        want = [
+            len(s),
+            rate,
+            1,
+            int(s64.min()),
+            int(s64.max()),
+            int(s64.sum()) // len(s),
+            int((s64 * s64).sum()) // len(s),
+            int((s64 >= 2048).sum()),
+        ]
+        got = [int(v) for v in by_id[i].feature]
+        assert got == want, (i, got, want)
+        assert by_id[i].n_bytes == 44 + 2 * len(s)
+        assert by_id[i].width is None and by_id[i].height is None

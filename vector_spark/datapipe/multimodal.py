@@ -3,17 +3,21 @@ columns with typed metadata.
 
 The Spark-side machinery (schema, Arrow batch shape, partition-aware
 mapInPandas decode, metadata propagation) is real and tested, and —
-since r5 — so is the image codec: `datapipe.png_codec` is a
+since r5 — so are the lossless codecs: `datapipe.png_codec` is a
 pure-stdlib PNG encoder/decoder (public W3C spec, zlib + struct), so
 `extract_features` computes features from REAL decoded pixels and
-`resize_images` does a REAL nearest-neighbour resample + re-encode.
-No image library needed; audio/video payloads remain opaque bytes
-(decode step for those kinds is caller-supplied in production).
+`resize_images` does a REAL nearest-neighbour resample + re-encode;
+`datapipe.wav_codec` is a pure-stdlib RIFF/PCM WAV codec, so audio
+rows decode to REAL int16 samples (`wav_audio_decoder`). Only video
+payloads remain opaque bytes (no lossy-media decoder exists in the
+stdlib; that decode step is caller-supplied in production).
 
-Feature vector (8 dims, all integer-valued by construction so the
+Feature vectors (8 dims, all integer-valued by construction so the
 float32 array round-trips exactly and a SQL oracle can re-derive them
-from the pixel formulas): floor-mean of R/G/B, floor-mean brightness,
-min/max of R, distinct R values, floor-mean of R².
+from the synth formulas). Image: floor-mean of R/G/B, floor-mean
+brightness, min/max of R, distinct R values, floor-mean of R².
+Audio: n_samples, sample_rate, channels, min, max, floor-mean,
+floor-mean of s² (energy), count of samples >= 2048.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from vector_spark.datapipe.png_codec import png_decode, png_encode
+from vector_spark.datapipe.wav_codec import wav_decode, wav_encode
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -72,11 +77,29 @@ def synth_pixels(i: int) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def synth_samples(i: int) -> tuple[np.ndarray, int]:
+    """Deterministic mono int16 waveform for audio media_id=i — pure
+    integer formulas so a SQL oracle re-derives every sample without
+    parsing RIFF:
+
+      n = 256 + i%128, rate = 8000 + (i%5)*2000
+      s[t] = (t*t + 5*i*t + i) % 4096     (non-negative by design, so
+                                           floor-division stats are
+                                           engine-unambiguous)
+    """
+    n = 256 + i % 128
+    t = np.arange(n, dtype=np.int64)
+    s = (t * t + 5 * i * t + i) % 4096
+    return s.astype(np.int16), 8000 + (i % 5) * 2000
+
+
 def synth_media_df(spark, n: int = 100) -> DataFrame:
     """Deterministic media table. Image rows (media_id % 3 == 0) carry
-    REAL PNG payloads encoding :func:`synth_pixels`; audio/video rows
-    carry opaque 64-byte payloads (their codecs are out of scope —
-    caller-supplied in production)."""
+    REAL PNG payloads encoding :func:`synth_pixels`; audio rows
+    (media_id % 3 == 1) carry REAL WAV payloads encoding
+    :func:`synth_samples`; video rows carry opaque 64-byte payloads
+    (lossy-media codecs are out of scope — caller-supplied in
+    production)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,14 +108,21 @@ def synth_media_df(spark, n: int = 100) -> DataFrame:
             payloads = [
                 png_encode(synth_pixels(int(i)))
                 if i % 3 == 0
+                else wav_encode(*synth_samples(int(i)))
+                if i % 3 == 1
                 else bytes((np.arange(64) * (i + 1) % 256).astype(np.uint8))
                 for i in ids
             ]
+            mimes = np.select(
+                [kinds == "image", kinds == "audio"],
+                ["image/png", "audio/wav"],
+                "application/octet-stream",
+            )
             yield pd.DataFrame(
                 {
                     "media_id": ids,
                     "kind": kinds,
-                    "mime": np.where(kinds == "image", "image/png", "application/octet-stream"),
+                    "mime": mimes,
                     "payload": payloads,
                     "meta": [{"w": str(32 + int(i) % 64), "h": str(32 + int(i) % 48)} for i in ids],
                 }
@@ -130,6 +160,30 @@ def png_image_decoder(payload: bytes, meta: dict) -> tuple[int, int, list[float]
         int((r * r).sum()) // npix,
     ]
     return w, h, [float(v) for v in feat]
+
+
+def wav_audio_decoder(payload: bytes, meta: dict) -> tuple[None, None, list[float]]:
+    """REAL audio decode + feature step: parses the RIFF/PCM WAV
+    (datapipe.wav_codec) and computes 8 integer-valued sample
+    statistics — n_samples, sample_rate, channels, min, max,
+    floor-mean, floor-mean of s² (energy), count of samples >= 2048.
+    All values < 2^24 for 12-bit-range synth signals, so the float32
+    feature column is exact; width/height stay NULL (image-only)."""
+    samples, rate = wav_decode(payload)
+    s = samples.astype(np.int64)
+    n, ch = s.shape
+    flat = s.reshape(-1)
+    feat = [
+        n,
+        rate,
+        ch,
+        int(flat.min()),
+        int(flat.max()),
+        int(flat.sum()) // flat.size,
+        int((flat * flat).sum()) // flat.size,
+        int((flat >= 2048).sum()),
+    ]
+    return None, None, [float(v) for v in feat]
 
 
 def extract_features(

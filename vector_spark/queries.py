@@ -2957,9 +2957,66 @@ SELECT CAST(i AS BIGINT) AS media_id,
             ELSE 'video' END AS kind,
        CASE WHEN i % 3 = 0 THEN CAST(32 + i % 64 AS INTEGER) END AS width,
        CASE WHEN i % 3 = 0 THEN CAST(32 + i % 48 AS INTEGER) END AS height,
-       CASE WHEN i % 3 <> 0 THEN CAST(64 AS BIGINT) END AS n_bytes,
+       CASE WHEN i % 3 = 1 THEN CAST(44 + 2 * (256 + i % 128) AS BIGINT)
+            WHEN i % 3 = 2 THEN CAST(64 AS BIGINT) END AS n_bytes,
        f0, f1, f2, f3, f4, f5, f6, f7
 FROM ids LEFT JOIN f USING (i)
+"""
+
+
+def q_mm_audio_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked audio twin of mm_features_checked over the REAL
+    WAV decode path (r5): audio payloads are true RIFF/PCM files of
+    datapipe.multimodal's synth_samples formulas, the decoder walks
+    the chunk list and reads int16 frames, and every feature is an
+    integer sample statistic the oracle re-derives from the same t
+    formulas — a single mangled sample or header field anywhere in
+    encode->decode hash-mismatches (n_bytes checks the canonical
+    44-byte header arithmetic too)."""
+    from vector_spark.datapipe.multimodal import (
+        extract_features,
+        synth_media_df,
+        wav_audio_decoder,
+    )
+
+    _prep(spark)
+    feats = extract_features(
+        synth_media_df(spark, n=200),
+        decoder=wav_audio_decoder,
+        batch_kinds=("audio",),
+    ).filter(F.col("kind") == "audio")
+    sel = [F.col("media_id"), F.col("n_bytes")]
+    for k in range(8):
+        sel.append(F.element_at("feature", k + 1).cast("bigint").alias(f"f{k}"))
+    return feats.select(*sel)
+
+
+# per-sample re-derivation of synth_samples + wav_audio_decoder: the
+# series CTE rebuilds every sample from the integer formula, the
+# aggregate reproduces the decoder's floor-division statistics, and
+# n_bytes re-derives the canonical RIFF header arithmetic
+SQL_MM_AUDIO_CHECKED = """
+WITH ids AS (SELECT unnest(range(200)) AS i),
+aud AS (SELECT i, 256 + i % 128 AS n FROM ids WHERE i % 3 = 1),
+smp AS (
+  SELECT i, n, (t*t + 5*i*t + i) % 4096 AS s
+  FROM aud, LATERAL (SELECT unnest(range(n)) AS t) tt
+),
+f AS (
+  SELECT i,
+         CAST(max(n) AS BIGINT) AS f0,
+         CAST(8000 + (max(i) % 5) * 2000 AS BIGINT) AS f1,
+         CAST(1 AS BIGINT) AS f2,
+         CAST(min(s) AS BIGINT) AS f3,
+         CAST(max(s) AS BIGINT) AS f4,
+         CAST(sum(s) // max(n) AS BIGINT) AS f5,
+         CAST(sum(s*s) // max(n) AS BIGINT) AS f6,
+         CAST(sum(CASE WHEN s >= 2048 THEN 1 ELSE 0 END) AS BIGINT) AS f7
+  FROM smp GROUP BY i)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       f0, f1, f2, f3, f4, f5, f6, f7
+FROM aud JOIN f USING (i)
 """
 
 
@@ -3298,6 +3355,7 @@ QUERIES = {
     "dp_url_dedup": q_dp_url_dedup,
     "dp_sample_n": q_dp_sample_n,
     "dp_semantic_dedup": q_dp_semantic_dedup,
+    "mm_audio_checked": q_mm_audio_checked,
     "mm_features_checked": q_mm_features_checked,
     "mm_features": q_mm_features,  # rows-only
     "dp_pack_chunks": q_dp_pack_chunks,
@@ -3487,4 +3545,5 @@ ORACLES = {
     "dp_simhash": SQL_DP_SIMHASH,
     "dp_clean_corpus": SQL_DP_CLEAN_CORPUS,
     "mm_features_checked": SQL_MM_FEATURES_CHECKED,
+    "mm_audio_checked": SQL_MM_AUDIO_CHECKED,
 }
