@@ -206,6 +206,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_sample_n",
         "dp_semantic_dedup",
         "mm_audio_checked",
+        "mm_audio_resampled",
     ]
     for name in secondary:
         fn = QUERIES[name]

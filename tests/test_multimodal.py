@@ -1,8 +1,10 @@
-"""Multimodal binary-column plumbing + REAL image codec: the Spark
+"""Multimodal binary-column plumbing + REAL codecs: the Spark
 machinery (schemas, Arrow batch shape, partition-parallel mapInPandas)
 AND the decode are real since r5 — image payloads are true PNGs
-(pure-stdlib codec, datapipe/png_codec.py) and features come from
-decoded pixels. Audio/video codecs remain caller-supplied."""
+(pure-stdlib codec, datapipe/png_codec.py), audio payloads are true
+RIFF/PCM WAVs (datapipe/wav_codec.py), and features come from decoded
+pixels / int16 samples. Only lossy video codecs remain
+caller-supplied."""
 
 from __future__ import annotations
 
@@ -206,3 +208,48 @@ def test_audio_features_from_real_samples(spark):
         assert got == want, (i, got, want)
         assert by_id[i].n_bytes == 44 + 2 * len(s)
         assert by_id[i].width is None and by_id[i].height is None
+
+
+def test_resample_audio_composes(spark):
+    from vector_spark.datapipe.multimodal import (
+        extract_features,
+        resample_audio,
+        synth_media_df,
+        synth_samples,
+        wav_audio_decoder,
+    )
+
+    resampled = resample_audio(synth_media_df(spark, n=30), target_rate=6000)
+    rows = {r.media_id: r for r in resampled.collect()}
+    # non-audio rows pass through byte-identical
+    for mid, r in rows.items():
+        if r.kind != "audio":
+            assert r.mime != "audio/wav"
+    # audio rows: re-decoded features match a numpy replay of the
+    # zero-order-hold index map
+    feats = {
+        r.media_id: r
+        for r in extract_features(
+            resampled, decoder=wav_audio_decoder, batch_kinds=("audio",)
+        )
+        .filter("kind = 'audio'")
+        .collect()
+    }
+    for i in (1, 13):
+        s, rate = synth_samples(i)
+        n = len(s)
+        n2 = (n * 6000) // rate
+        idx = (np.arange(n2, dtype=np.int64) * n) // n2
+        out = s.astype(np.int64)[idx]
+        want = [
+            n2,
+            6000,
+            1,
+            int(out.min()),
+            int(out.max()),
+            int(out.sum()) // n2,
+            int((out * out).sum()) // n2,
+            int((out >= 2048).sum()),
+        ]
+        assert [int(v) for v in feats[i].feature] == want, i
+        assert feats[i].n_bytes == 44 + 2 * n2

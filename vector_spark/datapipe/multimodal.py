@@ -260,6 +260,54 @@ def png_image_resizer(
     return png_encode(out), new_meta
 
 
+def wav_audio_resampler(
+    payload: bytes, meta: dict, target_rate: int
+) -> tuple[bytes, dict]:
+    """REAL nearest-neighbour (zero-order-hold) resample: decode the
+    WAV, index-resample the frame grid to
+    `n' = floor(n * target_rate / rate)` frames, re-encode at the
+    target rate. Integer index arithmetic end-to-end
+    (`t = (u * n) // n'`), so an oracle can re-derive every output
+    sample — the audio twin of :func:`png_image_resizer`."""
+    samples, rate = wav_decode(payload)
+    n = samples.shape[0]
+    dst_n = (n * target_rate) // rate
+    idx = (np.arange(dst_n, dtype=np.int64) * n) // dst_n
+    return wav_encode(samples[idx], target_rate), meta
+
+
+def resample_audio(
+    media: DataFrame,
+    target_rate: int,
+    resampler: Callable[[bytes, dict, int], tuple[bytes, dict]] = wav_audio_resampler,
+) -> DataFrame:
+    """mapInPandas resample pass over audio rows (MEDIA-shaped output,
+    so it composes with extract_features / sinks the way resize_images
+    does for images). Non-audio rows pass through untouched.
+    Partition-parallel, Arrow batched, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind == "audio" and r.payload is not None:
+                    payload, meta = resampler(r.payload, r.meta, target_rate)
+                else:
+                    payload, meta = r.payload, r.meta
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "kind": r.kind,
+                        "mime": r.mime,
+                        "payload": payload,
+                        "meta": meta,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def resize_images(
     media: DataFrame,
     target_w: int,

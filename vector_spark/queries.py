@@ -3020,6 +3020,64 @@ FROM aud JOIN f USING (i)
 """
 
 
+def q_mm_audio_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-then-feature composition over the REAL WAV path: audio
+    rows are zero-order-hold resampled to 6 kHz (integer index map
+    t = (u*n)//n'), re-encoded, decoded AGAIN by the feature pass, and
+    every statistic of the resampled signal is re-derived by the
+    oracle from the composed integer formulas — certifying the
+    resampler kernel and that resample_audio's output composes with
+    extract_features exactly like resize_images does for images."""
+    from vector_spark.datapipe.multimodal import (
+        extract_features,
+        resample_audio,
+        synth_media_df,
+        wav_audio_decoder,
+    )
+
+    _prep(spark)
+    media = resample_audio(synth_media_df(spark, n=200), target_rate=6000)
+    feats = extract_features(
+        media, decoder=wav_audio_decoder, batch_kinds=("audio",)
+    ).filter(F.col("kind") == "audio")
+    sel = [F.col("media_id"), F.col("n_bytes")]
+    for k in range(8):
+        sel.append(F.element_at("feature", k + 1).cast("bigint").alias(f"f{k}"))
+    return feats.select(*sel)
+
+
+# composed re-derivation: n' = (n*6000)//rate output frames, each
+# sampling the source formula at t = (u*n)//n' — the same two integer
+# maps wav_audio_resampler applies, so any off-by-one in index math,
+# header rewrite, or double encode->decode hash-mismatches
+SQL_MM_AUDIO_RESAMPLED = """
+WITH ids AS (SELECT unnest(range(200)) AS i),
+aud AS (SELECT i, 256 + i % 128 AS n, 8000 + (i % 5) * 2000 AS rate
+        FROM ids WHERE i % 3 = 1),
+dst AS (SELECT i, n, (n * 6000) // rate AS n2 FROM aud),
+smp AS (
+  SELECT i, n2, (t*t + 5*i*t + i) % 4096 AS s
+  FROM (SELECT i, n, n2, (u * n) // n2 AS t
+        FROM dst, LATERAL (SELECT unnest(range(n2)) AS u) tu)
+),
+f AS (
+  SELECT i,
+         CAST(max(n2) AS BIGINT) AS f0,
+         CAST(6000 AS BIGINT) AS f1,
+         CAST(1 AS BIGINT) AS f2,
+         CAST(min(s) AS BIGINT) AS f3,
+         CAST(max(s) AS BIGINT) AS f4,
+         CAST(sum(s) // max(n2) AS BIGINT) AS f5,
+         CAST(sum(s*s) // max(n2) AS BIGINT) AS f6,
+         CAST(sum(CASE WHEN s >= 2048 THEN 1 ELSE 0 END) AS BIGINT) AS f7
+  FROM smp GROUP BY i)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(44 + 2 * n2 AS BIGINT) AS n_bytes,
+       f0, f1, f2, f3, f4, f5, f6, f7
+FROM dst JOIN f USING (i)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3356,6 +3414,7 @@ QUERIES = {
     "dp_sample_n": q_dp_sample_n,
     "dp_semantic_dedup": q_dp_semantic_dedup,
     "mm_audio_checked": q_mm_audio_checked,
+    "mm_audio_resampled": q_mm_audio_resampled,
     "mm_features_checked": q_mm_features_checked,
     "mm_features": q_mm_features,  # rows-only
     "dp_pack_chunks": q_dp_pack_chunks,
@@ -3546,4 +3605,5 @@ ORACLES = {
     "dp_clean_corpus": SQL_DP_CLEAN_CORPUS,
     "mm_features_checked": SQL_MM_FEATURES_CHECKED,
     "mm_audio_checked": SQL_MM_AUDIO_CHECKED,
+    "mm_audio_resampled": SQL_MM_AUDIO_RESAMPLED,
 }
