@@ -207,6 +207,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_semantic_dedup",
         "mm_audio_checked",
         "mm_audio_resampled",
+        "mm_video_checked",
     ]
     for name in secondary:
         fn = QUERIES[name]

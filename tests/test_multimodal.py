@@ -1,9 +1,10 @@
 """Multimodal binary-column plumbing + REAL codecs: the Spark
 machinery (schemas, Arrow batch shape, partition-parallel mapInPandas)
 AND the decode are real since r5 — image payloads are true PNGs
-(pure-stdlib codec, datapipe/png_codec.py), audio payloads are true
-RIFF/PCM WAVs (datapipe/wav_codec.py), and features come from decoded
-pixels / int16 samples. Only lossy video codecs remain
+(datapipe/png_codec.py), audio payloads are true RIFF/PCM WAVs
+(datapipe/wav_codec.py), video payloads are true Y4M/YUV4MPEG2
+streams (datapipe/y4m_codec.py), and features come from decoded
+pixels / int16 samples / luma frames. Only LOSSY codecs remain
 caller-supplied."""
 
 from __future__ import annotations
@@ -67,9 +68,11 @@ def test_extract_features_shapes(spark):
             assert r.feature is None
             # real WAV payload: canonical 44-byte header + int16 frames
             assert r.n_bytes == 44 + 2 * (256 + r.media_id % 128)
-        else:
+        else:  # video: real Y4M payload (text header + raw frames)
             assert r.feature is None
-            assert r.n_bytes == 64
+            i = r.media_id
+            nf, w, h = 4 + i % 4, 16 + i % 16, 8 + i % 8
+            assert r.n_bytes == 34 + len(str(w)) + len(str(h)) + nf * (6 + w * h)
 
 
 def test_frame_sample_plan(spark):
@@ -92,8 +95,8 @@ def test_resize_composes_with_features(spark):
             assert png_decode(bytes(r.payload)).shape == (16, 16, 3)
         elif r.kind == "audio":  # pass-through, untouched real WAV
             assert len(r.payload) == 44 + 2 * (256 + mid % 128)
-        else:  # pass-through
-            assert r.payload is not None and len(r.payload) == 64
+        else:  # pass-through, untouched real Y4M
+            assert bytes(r.payload).startswith(b"YUV4MPEG2 ")
     # resized output keeps the MEDIA shape: feature pass composes
     feats = extract_features(resized).collect()
     for r in feats:
@@ -253,3 +256,81 @@ def test_resample_audio_composes(spark):
         ]
         assert [int(v) for v in feats[i].feature] == want, i
         assert feats[i].n_bytes == 44 + 2 * n2
+
+
+# ---------------------------------------------------------------- Y4M
+
+
+def test_y4m_codec_roundtrip():
+    from vector_spark.datapipe.y4m_codec import y4m_decode, y4m_encode
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, (5, 9, 13)).astype(np.uint8)
+    out, fps = y4m_decode(y4m_encode(frames, fps=(30, 1)))
+    assert fps == (30, 1)
+    assert np.array_equal(out, frames)
+
+
+def test_y4m_decode_foreign_header_and_frame_params():
+    """Spec-valid streams we didn't write: reordered header params,
+    an unknown X token, FRAME lines carrying parameters."""
+    from vector_spark.datapipe.y4m_codec import y4m_decode
+
+    f0 = bytes(range(12))
+    f1 = bytes(reversed(range(12)))
+    payload = (
+        b"YUV4MPEG2 Cmono H3 W4 Xsomething F24:1\n"
+        + b"FRAME Ktag\n" + f0
+        + b"FRAME\n" + f1
+    )
+    frames, fps = y4m_decode(payload)
+    assert fps == (24, 1)
+    assert frames.shape == (2, 3, 4)
+    assert frames[0].tobytes() == f0 and frames[1].tobytes() == f1
+
+
+def test_y4m_decode_rejects_garbage():
+    from vector_spark.datapipe.y4m_codec import y4m_decode
+
+    with pytest.raises(ValueError):
+        y4m_decode(b"MPEG4 nope\n")
+    with pytest.raises(ValueError):  # C420 unsupported (chroma planes)
+        y4m_decode(b"YUV4MPEG2 W4 H2 F25:1 C420\nFRAME\n" + b"\x00" * 12)
+    with pytest.raises(ValueError):  # truncated frame
+        y4m_decode(b"YUV4MPEG2 W4 H2 F25:1 Cmono\nFRAME\n" + b"\x00" * 7)
+
+
+def test_video_features_from_real_frames(spark):
+    from vector_spark.datapipe.multimodal import (
+        extract_features,
+        synth_frames,
+        synth_media_df,
+        y4m_video_decoder,
+    )
+
+    feats = {
+        r.media_id: r
+        for r in extract_features(
+            synth_media_df(spark, n=30),
+            decoder=y4m_video_decoder,
+            batch_kinds=("video",),
+        )
+        .filter("kind = 'video'")
+        .collect()
+    }
+    assert len(feats) == 10
+    for i in (2, 17):
+        fr = synth_frames(i).astype(np.int64)
+        flat = fr.reshape(-1)
+        want = [
+            fr.shape[0],
+            fr.shape[2],
+            fr.shape[1],
+            int(flat.min()),
+            int(flat.max()),
+            int(flat.sum()) // flat.size,
+            int((flat * flat).sum()) // flat.size,
+            int((flat >= 128).sum()),
+        ]
+        assert [int(v) for v in feats[i].feature] == want, i
+        assert (feats[i].width, feats[i].height) == (fr.shape[2], fr.shape[1])

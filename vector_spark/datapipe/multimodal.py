@@ -8,16 +8,20 @@ pure-stdlib PNG encoder/decoder (public W3C spec, zlib + struct), so
 `extract_features` computes features from REAL decoded pixels and
 `resize_images` does a REAL nearest-neighbour resample + re-encode;
 `datapipe.wav_codec` is a pure-stdlib RIFF/PCM WAV codec, so audio
-rows decode to REAL int16 samples (`wav_audio_decoder`). Only video
-payloads remain opaque bytes (no lossy-media decoder exists in the
-stdlib; that decode step is caller-supplied in production).
+rows decode to REAL int16 samples (`wav_audio_decoder`); and
+`datapipe.y4m_codec` is a pure-stdlib Y4M (YUV4MPEG2) codec, so video
+rows decode to REAL luma frames (`y4m_video_decoder`). Every kind now
+decodes a real public format with no media library; only LOSSY codecs
+(jpeg/mp3/h264...) remain caller-supplied in production — no
+pure-stdlib decoder exists for those.
 
 Feature vectors (8 dims, all integer-valued by construction so the
 float32 array round-trips exactly and a SQL oracle can re-derive them
 from the synth formulas). Image: floor-mean of R/G/B, floor-mean
 brightness, min/max of R, distinct R values, floor-mean of R².
 Audio: n_samples, sample_rate, channels, min, max, floor-mean,
-floor-mean of s² (energy), count of samples >= 2048.
+floor-mean of s² (energy), count of samples >= 2048. Video: n_frames,
+w, h, min, max, floor-mean, floor-mean of Y², count of Y >= 128.
 """
 
 from __future__ import annotations
@@ -33,6 +37,7 @@ from pyspark.sql import types as T
 
 from vector_spark.datapipe.png_codec import png_decode, png_encode
 from vector_spark.datapipe.wav_codec import wav_decode, wav_encode
+from vector_spark.datapipe.y4m_codec import y4m_decode, y4m_encode
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -93,13 +98,27 @@ def synth_samples(i: int) -> tuple[np.ndarray, int]:
     return s.astype(np.int16), 8000 + (i % 5) * 2000
 
 
+def synth_frames(i: int) -> np.ndarray:
+    """Deterministic luma frame stack for video media_id=i — pure
+    integer formulas so a SQL oracle re-derives every sample without
+    parsing Y4M:
+
+      nf = 4 + i%4, w = 16 + i%16, h = 8 + i%8
+      Y[f, y, x] = (x + 2y + 3f + i) % 256
+    """
+    nf, w, h = 4 + i % 4, 16 + i % 16, 8 + i % 8
+    f = np.arange(nf, dtype=np.int64)[:, None, None]
+    y = np.arange(h, dtype=np.int64)[None, :, None]
+    x = np.arange(w, dtype=np.int64)[None, None, :]
+    return ((x + 2 * y + 3 * f + i) % 256).astype(np.uint8)
+
+
 def synth_media_df(spark, n: int = 100) -> DataFrame:
-    """Deterministic media table. Image rows (media_id % 3 == 0) carry
-    REAL PNG payloads encoding :func:`synth_pixels`; audio rows
-    (media_id % 3 == 1) carry REAL WAV payloads encoding
-    :func:`synth_samples`; video rows carry opaque 64-byte payloads
-    (lossy-media codecs are out of scope — caller-supplied in
-    production)."""
+    """Deterministic media table — every kind carries a REAL payload
+    in a public format: image rows (media_id % 3 == 0) are PNGs of
+    :func:`synth_pixels`, audio rows (% 3 == 1) are RIFF/PCM WAVs of
+    :func:`synth_samples`, video rows (% 3 == 2) are Y4M Cmono
+    streams of :func:`synth_frames`."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -110,13 +129,13 @@ def synth_media_df(spark, n: int = 100) -> DataFrame:
                 if i % 3 == 0
                 else wav_encode(*synth_samples(int(i)))
                 if i % 3 == 1
-                else bytes((np.arange(64) * (i + 1) % 256).astype(np.uint8))
+                else y4m_encode(synth_frames(int(i)))
                 for i in ids
             ]
             mimes = np.select(
                 [kinds == "image", kinds == "audio"],
                 ["image/png", "audio/wav"],
-                "application/octet-stream",
+                "video/x-yuv4mpeg",
             )
             yield pd.DataFrame(
                 {
@@ -184,6 +203,28 @@ def wav_audio_decoder(payload: bytes, meta: dict) -> tuple[None, None, list[floa
         int((flat >= 2048).sum()),
     ]
     return None, None, [float(v) for v in feat]
+
+
+def y4m_video_decoder(payload: bytes, meta: dict) -> tuple[int, int, list[float]]:
+    """REAL video decode + feature step: parses the Y4M stream
+    (datapipe.y4m_codec) and computes 8 integer-valued luma
+    statistics — n_frames, w, h, min, max, floor-mean, floor-mean of
+    Y² , count of Y >= 128. width/height are reported from the stream
+    header (image-decoder contract)."""
+    frames, _fps = y4m_decode(payload)
+    nf, h, w = frames.shape
+    flat = frames.astype(np.int64).reshape(-1)
+    feat = [
+        nf,
+        w,
+        h,
+        int(flat.min()),
+        int(flat.max()),
+        int(flat.sum()) // flat.size,
+        int((flat * flat).sum()) // flat.size,
+        int((flat >= 128).sum()),
+    ]
+    return w, h, [float(v) for v in feat]
 
 
 def extract_features(

@@ -2958,7 +2958,11 @@ SELECT CAST(i AS BIGINT) AS media_id,
        CASE WHEN i % 3 = 0 THEN CAST(32 + i % 64 AS INTEGER) END AS width,
        CASE WHEN i % 3 = 0 THEN CAST(32 + i % 48 AS INTEGER) END AS height,
        CASE WHEN i % 3 = 1 THEN CAST(44 + 2 * (256 + i % 128) AS BIGINT)
-            WHEN i % 3 = 2 THEN CAST(64 AS BIGINT) END AS n_bytes,
+            WHEN i % 3 = 2 THEN CAST(
+              34 + length(CAST(16 + i % 16 AS VARCHAR))
+                 + length(CAST(8 + i % 8 AS VARCHAR))
+                 + (4 + i % 4) * (6 + (16 + i % 16) * (8 + i % 8))
+              AS BIGINT) END AS n_bytes,
        f0, f1, f2, f3, f4, f5, f6, f7
 FROM ids LEFT JOIN f USING (i)
 """
@@ -3017,6 +3021,67 @@ SELECT CAST(i AS BIGINT) AS media_id,
        CAST(44 + 2 * n AS BIGINT) AS n_bytes,
        f0, f1, f2, f3, f4, f5, f6, f7
 FROM aud JOIN f USING (i)
+"""
+
+
+def q_mm_video_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked video twin over the REAL Y4M decode path (r5):
+    video payloads are true YUV4MPEG2 Cmono streams of
+    datapipe.multimodal's synth_frames formulas, the decoder parses
+    the stream header and FRAME markers, and every feature is an
+    integer luma statistic the oracle re-derives from the same
+    (x, y, f) formulas — a single mangled sample, header token or
+    frame marker anywhere in encode->decode hash-mismatches (n_bytes
+    checks the text-header + frame-size arithmetic)."""
+    from vector_spark.datapipe.multimodal import (
+        extract_features,
+        synth_media_df,
+        y4m_video_decoder,
+    )
+
+    _prep(spark)
+    feats = extract_features(
+        synth_media_df(spark, n=200),
+        decoder=y4m_video_decoder,
+        batch_kinds=("video",),
+    ).filter(F.col("kind") == "video")
+    sel = [F.col("media_id"), F.col("width"), F.col("height"), F.col("n_bytes")]
+    for k in range(8):
+        sel.append(F.element_at("feature", k + 1).cast("bigint").alias(f"f{k}"))
+    return feats.select(*sel)
+
+
+# per-sample re-derivation of synth_frames + y4m_video_decoder: the
+# (x, y, f) grid CTE rebuilds every luma value from the integer
+# formula; n_bytes re-derives the text header length + FRAME framing
+SQL_MM_VIDEO_CHECKED = """
+WITH ids AS (SELECT unnest(range(200)) AS i),
+dims AS (SELECT i, 4 + i % 4 AS nf, 16 + i % 16 AS w, 8 + i % 8 AS h
+         FROM ids WHERE i % 3 = 2),
+px AS (
+  SELECT i, nf, w, h, (x + 2*y + 3*f + i) % 256 AS v
+  FROM dims, LATERAL (SELECT unnest(range(w)) AS x) tx,
+             LATERAL (SELECT unnest(range(h)) AS y) ty,
+             LATERAL (SELECT unnest(range(nf)) AS f) tf
+),
+feat AS (
+  SELECT i,
+         CAST(max(nf) AS BIGINT) AS f0,
+         CAST(max(w) AS BIGINT) AS f1,
+         CAST(max(h) AS BIGINT) AS f2,
+         CAST(min(v) AS BIGINT) AS f3,
+         CAST(max(v) AS BIGINT) AS f4,
+         CAST(sum(v) // (max(nf) * max(w) * max(h)) AS BIGINT) AS f5,
+         CAST(sum(v*v) // (max(nf) * max(w) * max(h)) AS BIGINT) AS f6,
+         CAST(sum(CASE WHEN v >= 128 THEN 1 ELSE 0 END) AS BIGINT) AS f7
+  FROM px GROUP BY i)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(34 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            + nf * (6 + w * h) AS BIGINT) AS n_bytes,
+       f0, f1, f2, f3, f4, f5, f6, f7
+FROM dims JOIN feat USING (i)
 """
 
 
@@ -3415,6 +3480,7 @@ QUERIES = {
     "dp_semantic_dedup": q_dp_semantic_dedup,
     "mm_audio_checked": q_mm_audio_checked,
     "mm_audio_resampled": q_mm_audio_resampled,
+    "mm_video_checked": q_mm_video_checked,
     "mm_features_checked": q_mm_features_checked,
     "mm_features": q_mm_features,  # rows-only
     "dp_pack_chunks": q_dp_pack_chunks,
@@ -3606,4 +3672,5 @@ ORACLES = {
     "mm_features_checked": SQL_MM_FEATURES_CHECKED,
     "mm_audio_checked": SQL_MM_AUDIO_CHECKED,
     "mm_audio_resampled": SQL_MM_AUDIO_RESAMPLED,
+    "mm_video_checked": SQL_MM_VIDEO_CHECKED,
 }
