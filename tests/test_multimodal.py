@@ -75,13 +75,30 @@ def test_extract_features_shapes(spark):
             assert r.n_bytes == 34 + len(str(w)) + len(str(h)) + nf * (6 + w * h)
 
 
-def test_frame_sample_plan(spark):
+def test_frame_sample_plan_offsets_are_real(spark):
+    """The zero-decode byte offsets must slice the ACTUAL frame bytes
+    out of the payload: payload[off : off+frame_bytes] equals the
+    decoded frame for every sampled descriptor."""
+    from vector_spark.datapipe.multimodal import synth_frames
+
     media = synth_media_df(spark, n=30)
-    frames = frame_sample_plan(media, every_n=4)
-    rows = frames.collect()
-    n_videos = media.filter("kind = 'video'").count()
-    assert len(rows) == n_videos * 4
-    assert {r.frame_idx for r in rows} == {0, 1, 2, 3}
+    descs = frame_sample_plan(media, every_n=2).collect()
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in media.filter("kind = 'video'").collect()
+    }
+    assert len(payloads) == 10
+    # every-2nd sampling: nf in 4..7 -> 2-4 descriptors per video
+    per_video = {}
+    for d in descs:
+        per_video.setdefault(d.media_id, []).append(d)
+    for mid, ds in per_video.items():
+        nf = 4 + mid % 4
+        assert sorted(d.frame_idx for d in ds) == list(range(0, nf, 2))
+        frames = synth_frames(mid)
+        for d in ds:
+            got = payloads[mid][d.byte_offset : d.byte_offset + d.frame_bytes]
+            assert got == frames[d.frame_idx].tobytes(), (mid, d.frame_idx)
 
 
 def test_resize_composes_with_features(spark):

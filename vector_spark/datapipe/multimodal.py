@@ -143,7 +143,24 @@ def synth_media_df(spark, n: int = 100) -> DataFrame:
                     "kind": kinds,
                     "mime": mimes,
                     "payload": payloads,
-                    "meta": [{"w": str(32 + int(i) % 64), "h": str(32 + int(i) % 48)} for i in ids],
+                    # kind-accurate metadata sidecar (image: pixel dims;
+                    # audio: frame count + rate; video: frame geometry) —
+                    # zero-decode planners (frame_sample_plan) rely on it
+                    "meta": [
+                        {"w": str(32 + int(i) % 64), "h": str(32 + int(i) % 48)}
+                        if i % 3 == 0
+                        else {
+                            "n": str(256 + int(i) % 128),
+                            "rate": str(8000 + (int(i) % 5) * 2000),
+                        }
+                        if i % 3 == 1
+                        else {
+                            "nf": str(4 + int(i) % 4),
+                            "w": str(16 + int(i) % 16),
+                            "h": str(8 + int(i) % 8),
+                        }
+                        for i in ids
+                    ],
                 }
             )
 
@@ -261,16 +278,41 @@ def extract_features(
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling *plan*: expands each video row into frame
-    descriptors (frame_idx, byte_offset) WITHOUT decoding — the
-    downstream decode is another extract_features pass. Demonstrates
-    the explode-then-decode partition shape."""
-    frames = F.sequence(F.lit(0), F.lit(every_n - 1))
+    """Video frame sampling with ZERO decode: every n-th frame of each
+    video expands to a (frame_idx, byte_offset, frame_bytes)
+    descriptor computed purely from the metadata sidecar — for a
+    canonical Cmono Y4M stream (y4m_codec.y4m_encode's layout) frame
+    f's pixel data starts at
+
+        header_len + f*(6 + w*h) + 6,   header_len = 34 + digits(w)
+                                                        + digits(h)
+
+    (6 = the ``FRAME\\n`` marker). At 100 TB this is the pushdown that
+    matters: schedulers pick frames and issue ranged reads without
+    ever shipping or decoding the payload column; the downstream
+    decode of SELECTED frames is an extract_features pass. All JVM
+    expressions, zero Python, zero shuffle."""
+    nf = F.col("meta")["nf"].cast("long")
+    w = F.col("meta")["w"].cast("long")
+    h = F.col("meta")["h"].cast("long")
+    header_len = (
+        F.lit(34)
+        + F.length(w.cast("string"))
+        + F.length(h.cast("string"))
+    )
+    frame_bytes = w * h
+    idxs = F.sequence(F.lit(0), nf - 1, F.lit(every_n))
     return (
         media.filter(F.col("kind") == "video")
-        .withColumn("frame_idx", F.explode(frames))
-        .withColumn("byte_offset", F.col("frame_idx") * F.length("payload"))
-        .select("media_id", "frame_idx", "byte_offset")
+        .withColumn("frame_idx", F.explode(idxs))
+        .select(
+            "media_id",
+            "frame_idx",
+            (header_len + F.col("frame_idx") * (frame_bytes + 6) + 6).alias(
+                "byte_offset"
+            ),
+            frame_bytes.alias("frame_bytes"),
+        )
     )
 
 
