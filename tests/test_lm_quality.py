@@ -130,7 +130,16 @@ def test_materialized_model_bit_equal_and_cache_released(spark, tmp_path):
         unpersist_bigram_lm,
     )
 
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
     spark.catalog.clearCache()  # drop caches earlier tests left behind
+    # DELTA-based cache accounting: earlier tests' localCheckpoint RDDs
+    # linger in the registry until GC (timing-dependent), so assert
+    # that THIS lifecycle adds/releases its own entries, not that the
+    # global registry is empty.
+    base = persistent_ids()
     texts = [f"w{i % 5} w{(i * 2) % 5} w{(i * 3) % 5}" for i in range(48)]
     corpus = _docs(spark, texts)
     want = sorted(
@@ -140,8 +149,8 @@ def test_materialized_model_bit_equal_and_cache_released(spark, tmp_path):
     path = str(tmp_path / "lm_model")
     model = train_bigram_lm(corpus, vocab_size=4, materialize=path)
     # materialize released the training caches
-    jsm = spark.sparkContext._jsc.sc().getPersistentRDDs()
-    assert jsm.isEmpty(), "materialize must unpersist the training caches"
+    leaked = persistent_ids() - base
+    assert not leaked, f"materialize must unpersist the training caches: {leaked}"
     # reloaded tables are plain parquet scans
     reloaded = load_bigram_lm(spark, path)
     got = sorted(
@@ -153,6 +162,6 @@ def test_materialized_model_bit_equal_and_cache_released(spark, tmp_path):
     # the non-materialized form exposes an unpersist handle
     cached = train_bigram_lm(corpus, vocab_size=4)
     cached[2].count()  # touch bigrams so the caches materialize
-    assert not spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty()
+    assert persistent_ids() - base, "training caches should be registered"
     unpersist_bigram_lm(cached)
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().isEmpty()
+    assert not (persistent_ids() - base), "unpersist handle must release them"
