@@ -125,6 +125,10 @@ def main() -> None:
         QUERIES["dp_simhash_pairs"](spark, sf_dir),
     )
     add(
+        "VRL-source remap, compiled to Columns — no EvalPython (op_remap_vrl)",
+        QUERIES["op_remap_vrl"](spark, sf_dir),
+    )
+    add(
         "Mergeable DDSketch, native log-gamma bin expressions (op_agg_sketch)",
         QUERIES["op_agg_sketch"](spark, sf_dir),
     )

@@ -1,0 +1,1291 @@
+"""VRL AST -> native Spark Column compiler.
+
+Compiles a parsed VRL program (vrl_lang.parse_vrl) into pure JVM
+expressions over a DataFrame row — the "remap with VRL source" path of
+the reference (src/transforms/remap.rs compiles VRL to its own VM; here
+the same programs compile to Catalyst expressions, so they run inside
+whole-stage codegen with zero Python in the hot path).
+
+Semantics mapping (documented divergences are deliberate — a statically
+typed engine cannot replicate every dynamic-typing edge):
+
+- **events are rows**: top-level event fields are DataFrame columns;
+  nested paths are struct fields (reads via getField, writes via
+  Column.withField / dropFields). Reading a path absent from the schema
+  yields null, matching VRL's missing-path semantics.
+- **runtime errors are NULL**: VRL's fallible-expression errors map to
+  NULL results (Spark's own semantics for failed casts / division by
+  zero / non-matching parses). Hence ``a ?? b`` compiles to
+  ``coalesce``-style selection, ``f!(...)`` to an abort-on-NULL guard,
+  and ``ok, err = f(...)`` assigns the NULL-on-error result plus a
+  generic error marker. Divergence: a *legitimately* null ok-result of
+  a fallible call is indistinguishable from an error.
+- **abort** (reference ast.rs Abort; remap's drop-on-abort): execution
+  state freezes at the abort point — every later assignment is guarded
+  by NOT-aborted, bit-identical to the reference test suite's
+  state-at-abort results. ``CompiledVrl.apply`` either filters aborted
+  rows or routes them to a dropped port like operators/remap.py.
+- **static type checks**: where VRL defers to runtime (can't add string
+  to integer, non-boolean predicate), the DataFrame schema decides at
+  compile time: statically-impossible operations become always-error
+  values (NULL + marked), mirroring the reference's runtime errors; the
+  error lists in tests/expressions/arithmetic/*/invalid.vrl are the
+  ground truth for which combinations error.
+- **parse_json** returns a lazy JSON proxy: path navigation compiles to
+  ``get_json_object`` with an accumulated JSONPath, so ``.a.b[0]`` on
+  parsed JSON needs no schema and stays JVM-side; materializing an
+  entire parsed object does require a schema and raises VrlUnsupported.
+- function calls dispatch to the golden-replayed stdlib registry
+  (functions/vrl_map.py VRL[name].fn) with literal-argument extraction;
+  type-assert functions (string!/integer!/...) resolve against the
+  static schema.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from pyspark.sql import Column, functions as F, types as T
+
+from vector_spark.functions.vrl_lang import (
+    Abort,
+    Arr,
+    Assign,
+    Block,
+    FnCall,
+    If,
+    Lit,
+    Not,
+    Obj,
+    Op,
+    Program,
+    Query,
+    Template,
+    Var,
+    VrlUnsupported,
+    parse_vrl,
+)
+
+MISSING = object()
+
+
+class VrlCompileError(ValueError):
+    pass
+
+
+_REGEX = T.DataType()  # sentinel "regex" type (compile-time only)
+
+
+@dataclass
+class Val:
+    col: Column
+    vtype: object = None  # T.DataType | None (unknown/dynamic)
+    fallible: bool = False
+    always_err: bool = False
+    pylit: object = MISSING
+    json: tuple | None = None  # (src Column, jsonpath) lazy parse_json proxy
+    err_msg: Column | None = None  # error message when this errors at runtime
+
+
+def _vrl_type_name(t) -> str:
+    """VRL diagnostic type names (value/src/lib.rs Kind display)."""
+    if t is None:
+        return "value"
+    if _is_int(t):
+        return "integer"
+    if isinstance(t, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return "float"
+    if isinstance(t, T.StringType):
+        return "string"
+    if isinstance(t, T.BooleanType):
+        return "boolean"
+    if isinstance(t, T.NullType):
+        return "null"
+    if isinstance(t, T.ArrayType):
+        return "array"
+    if isinstance(t, (T.StructType, T.MapType)):
+        return "object"
+    if isinstance(t, T.TimestampType):
+        return "timestamp"
+    if t is _REGEX:
+        return "regex"
+    return "value"
+
+
+def _type_default(t) -> Column:
+    """VRL's on-error default for the ok target of `ok, err = expr`."""
+    if t is None or isinstance(t, T.NullType):
+        return F.lit(None)
+    if _is_int(t):
+        return F.lit(0).cast("long")
+    if isinstance(t, (T.DoubleType, T.FloatType)):
+        return F.lit(0.0)
+    if isinstance(t, T.StringType):
+        return F.lit("")
+    if isinstance(t, T.BooleanType):
+        return F.lit(False)
+    if isinstance(t, T.ArrayType):
+        return F.array().cast(t)
+    return F.lit(None).cast(t)
+
+
+def _lit(py, vtype) -> Val:
+    return Val(F.lit(py), vtype, pylit=py)
+
+
+_NULL = lambda: Val(F.lit(None), T.NullType(), pylit=None)  # noqa: E731
+
+
+def _is_num(t) -> bool:
+    return isinstance(t, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+                          T.ShortType, T.ByteType, T.DecimalType))
+
+
+def _is_int(t) -> bool:
+    return isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+
+
+def _resolve(v: Val) -> Column:
+    """Materialize a value (collapses a JSON proxy to its string form)."""
+    if v.json is not None:
+        src, path = v.json
+        return F.get_json_object(src, path)
+    return v.col
+
+
+def _unify(a, b):
+    """Least common type of two branch/coalesce arms, or raise."""
+    if a is None or b is None:
+        return None
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    if a == b:
+        return a
+    if _is_num(a) and _is_num(b):
+        return T.DoubleType()
+    raise VrlUnsupported(f"cannot unify branch types {a} and {b}")
+
+
+def _stringly(v: Val) -> Column:
+    """String-space materialization for dynamic coalescing: collections
+    render as their JSON text (matching get_json_object's value space)."""
+    c = _resolve(v)
+    if isinstance(v.vtype, (T.ArrayType, T.StructType, T.MapType)):
+        return F.to_json(c)
+    if isinstance(v.vtype, T.StringType) or v.vtype is None:
+        return c
+    return c.try_cast("string")
+
+
+def _cast_to(v: Val, t) -> Column:
+    c = _resolve(v)
+    if t is None or v.vtype == t or isinstance(v.vtype, T.NullType):
+        return c
+    # try_cast: the session runs ANSI mode (Spark 4 default); VRL's
+    # runtime cast errors map to NULL, never to job-killing exceptions
+    return c.try_cast(t)
+
+
+class Env:
+    """Compile-time event/variable state."""
+
+    def __init__(self, schema: T.StructType):
+        self.schema = {f.name: f.dataType for f in schema}
+        self.order = [f.name for f in schema]
+        self.fields: dict[str, Val] = {}
+        self.dropped: set[str] = set()
+        # deleted after a possible abort: aborted rows keep the old value
+        # (state-at-abort), surviving rows see it deleted -- resolved at
+        # apply() time depending on whether aborted rows are emitted
+        self.cond_dropped: set[str] = set()
+        self.vars: dict[str, Val] = {}
+        self.abort: Column | None = None  # None = statically not aborted
+
+    def clone(self) -> "Env":
+        e = Env(T.StructType([]))
+        e.schema = self.schema
+        e.order = list(self.order)
+        e.fields = dict(self.fields)
+        e.dropped = set(self.dropped)
+        e.cond_dropped = set(self.cond_dropped)
+        e.vars = dict(self.vars)
+        e.abort = self.abort
+        return e
+
+    def get_field(self, name: str) -> Val:
+        if name in self.fields:
+            return self.fields[name]
+        if name in self.dropped:
+            return _NULL()
+        if name in self.schema:
+            return Val(F.col(name), self.schema[name])
+        return _NULL()
+
+    def has_field(self, name: str) -> bool:
+        return (name in self.fields) or (
+            name in self.schema and name not in self.dropped
+        )
+
+
+# --------------------------------------------------------------------------
+# function dispatch tables
+# --------------------------------------------------------------------------
+
+_TYPE_ASSERTS = {
+    "boolean": T.BooleanType,
+    "integer": T.LongType,
+    "float": T.DoubleType,
+    "string": T.StringType,
+    "timestamp": T.TimestampType,
+    "array": T.ArrayType,
+    "object": T.StructType,
+}
+
+_IS_TESTS = {
+    "is_boolean": T.BooleanType,
+    "is_integer": T.LongType,
+    "is_float": T.DoubleType,
+    "is_string": T.StringType,
+    "is_timestamp": T.TimestampType,
+    "is_array": T.ArrayType,
+    "is_object": T.StructType,
+    "is_regex": type(None),
+}
+
+# return types for common registry functions so downstream expressions
+# keep static typing (unlisted -> dynamic/None, which compiles permissively)
+_RET = {
+    "downcase": T.StringType(),
+    "upcase": T.StringType(),
+    "replace": T.StringType(),
+    "truncate": T.StringType(),
+    "slice": T.StringType(),
+    "strip_whitespace": T.StringType(),
+    "strip_ansi_escape_codes": T.StringType(),
+    "join": T.StringType(),
+    "sha1": T.StringType(),
+    "sha2": T.StringType(),
+    "sha3": T.StringType(),
+    "md5": T.StringType(),
+    "encode_base64": T.StringType(),
+    "decode_base64": T.StringType(),
+    "encode_json": T.StringType(),
+    "encode_percent": T.StringType(),
+    "decode_percent": T.StringType(),
+    "format_timestamp": T.StringType(),
+    "format_int": T.StringType(),
+    "format_number": T.StringType(),
+    "snakecase": T.StringType(),
+    "camelcase": T.StringType(),
+    "kebabcase": T.StringType(),
+    "pascalcase": T.StringType(),
+    "length": T.LongType(),
+    "strlen": T.LongType(),
+    "to_unix_timestamp": T.LongType(),
+    "parse_int": T.LongType(),
+    "round": T.DoubleType(),
+    "floor": T.DoubleType(),
+    "ceil": T.DoubleType(),
+    "abs": T.DoubleType(),
+    "contains": T.BooleanType(),
+    "starts_with": T.BooleanType(),
+    "ends_with": T.BooleanType(),
+    "includes": T.BooleanType(),
+    "match": T.BooleanType(),
+    "is_empty": T.BooleanType(),
+    "is_nullish": T.BooleanType(),
+    "split": T.ArrayType(T.StringType()),
+    "parse_tokens": T.ArrayType(T.StringType()),
+    "now": T.TimestampType(),
+    "to_timestamp": T.TimestampType(),
+    "parse_timestamp": T.TimestampType(),
+}
+
+_FALLIBLE = {
+    "to_int", "to_float", "to_bool", "to_timestamp", "parse_timestamp",
+    "slice", "get", "parse_int",
+}
+
+
+def _fallible_fn(name: str) -> bool:
+    return name in _FALLIBLE or name.startswith("parse_") or name.startswith("decode_")
+
+
+# --------------------------------------------------------------------------
+# compiler
+# --------------------------------------------------------------------------
+
+
+class _Compiler:
+    def __init__(self, schema: T.StructType):
+        self.env = Env(schema)
+
+    # -- abort guards ------------------------------------------------------
+    def _guard(self, new: Column, old: Column) -> Column:
+        if self.env.abort is None:
+            return new
+        return F.when(~F.coalesce(self.env.abort, F.lit(False)), new).otherwise(old)
+
+    def _note_abort(self, cond: Column) -> None:
+        prev = self.env.abort
+        if prev is None:
+            self.env.abort = cond
+        else:
+            # new aborts only fire on rows not already aborted
+            self.env.abort = prev | (cond & ~F.coalesce(prev, F.lit(False)))
+
+    # -- statements --------------------------------------------------------
+    def run(self, prog: Program) -> Val:
+        out = _NULL()
+        for s in prog.stmts:
+            out = self.stmt(s)
+        return out
+
+    def stmt(self, node) -> Val:
+        if isinstance(node, Assign):
+            return self._assign(node)
+        if isinstance(node, Abort):
+            return self._abort(node)
+        v = self.expr(node)
+        if v.fallible and not isinstance(node, (If,)):
+            # VRL rejects unhandled fallible root expressions (E103); an
+            # expression statement's value is discarded, so only surface
+            # it for assignments (checked in _assign)
+            pass
+        return v
+
+    def _abort(self, node: Abort) -> Val:
+        if node.message is not None:
+            self.expr(node.message)  # evaluated for parity; message unused
+        self._note_abort(F.lit(True))
+        return _NULL()
+
+    def _assign(self, node: Assign) -> Val:
+        val = self.expr(node.expr)
+        handled = len(node.targets) == 2
+        if val.fallible and not handled and not val.always_err:
+            raise VrlCompileError(
+                "unhandled fallible assignment (handle with `??`, `!`, or "
+                "`ok, err = ...`)"
+            )
+        if val.always_err and not handled:
+            raise VrlCompileError("expression always errors (type mismatch)")
+        ok_val = val
+        if handled:
+            res = _resolve(val)
+            plausible = bool(val.fallible or val.always_err)
+            msg = val.err_msg if val.err_msg is not None else F.lit(
+                "function call error"
+            )
+            err_col = F.when(
+                res.isNull() & F.lit(plausible), msg
+            ).otherwise(F.lit(None).cast("string"))
+            self._store(node.targets[1], Val(err_col, T.StringType()), node.op)
+            # on error the ok target takes the type's default value
+            # (tests/expressions/assignment/infallible_external.vrl: 0.0)
+            ok_col = res
+            if plausible:
+                ok_col = F.when(res.isNull(), _type_default(val.vtype)).otherwise(res)
+            ok_val = Val(ok_col, val.vtype, pylit=val.pylit, json=val.json)
+            self._store(node.targets[0], ok_val, node.op)
+            # the assignment-expression value is err on error, ok otherwise
+            # (tests/expressions/assignment/infallible_err_return_value.vrl)
+            if plausible:
+                return Val(
+                    F.when(err_col.isNotNull(), err_col).otherwise(
+                        ok_col.try_cast("string")
+                    ),
+                    T.StringType(),
+                )
+            return ok_val
+        self._store(node.targets[0], ok_val, node.op)
+        return ok_val
+
+    def _store(self, target, val: Val, op: str) -> None:
+        kind = target[0]
+        if kind == "noop":
+            return
+        if op == "|=":
+            cur = self._load_target(target)
+            val = self._merge(cur, val)
+        if kind == "event":
+            self._event_set(target[1], val)
+        elif kind == "var":
+            name, path = target[1], target[2]
+            if path:
+                cur = self.env.vars.get(name, _NULL())
+                self.env.vars[name] = self._with_path(cur, path, val)
+            else:
+                self.env.vars[name] = val
+        else:  # pragma: no cover
+            raise VrlCompileError(f"bad assignment target {target}")
+
+    def _load_target(self, target) -> Val:
+        if target[0] == "event":
+            return self._event_get(target[1])
+        if target[0] == "var":
+            base = self.env.vars.get(target[1], _NULL())
+            for seg in target[2]:
+                base = self._get_seg(base, seg)
+            return base
+        return _NULL()
+
+    # -- event paths -------------------------------------------------------
+    def _event_get(self, path: list) -> Val:
+        if not path:
+            return self._whole_event()
+        head = path[0]
+        if head[0] == "field":
+            base = self.env.get_field(head[1])
+        elif head[0] == "coalesce":
+            base = self._coalesce_fields(
+                [self.env.get_field(n) for n in head[1] if self.env.has_field(n)]
+            )
+        else:
+            raise VrlUnsupported("event root index path")
+        for seg in path[1:]:
+            base = self._get_seg(base, seg)
+        return base
+
+    def _whole_event(self) -> Val:
+        names = [n for n in self.env.order if n not in self.env.dropped]
+        names += [
+            n for n in self.env.fields
+            if n not in names and n not in self.env.dropped
+        ]
+        cols, stype = [], []
+        for n in names:
+            v = self.env.get_field(n)
+            cols.append(_resolve(v).alias(n))
+            stype.append(T.StructField(n, v.vtype or T.StringType()))
+        if not cols:
+            return Val(
+                F.from_json(F.lit("{}"), T.StructType([])), T.StructType([])
+            )
+        return Val(F.struct(*cols), T.StructType(stype))
+
+    def _coalesce_fields(self, vals: list) -> Val:
+        vals = [v for v in vals if not isinstance(v.vtype, T.NullType)]
+        if not vals:
+            return _NULL()
+        t = vals[0].vtype
+        for v in vals[1:]:
+            t = _unify(t, v.vtype)
+        return Val(F.coalesce(*[_cast_to(v, t) for v in vals]), t)
+
+    def _get_seg(self, base: Val, seg) -> Val:
+        if base.json is not None:
+            src, p = base.json
+            if seg[0] == "field":
+                return Val(F.lit(None), None, fallible=base.fallible,
+                           json=(src, f"{p}.{seg[1]}"))
+            if seg[0] == "index":
+                return Val(F.lit(None), None, fallible=base.fallible,
+                           json=(src, f"{p}[{seg[1]}]"))
+            raise VrlUnsupported("coalesce path on parsed JSON")
+        t = base.vtype
+        if seg[0] == "field":
+            if isinstance(t, T.StructType):
+                if seg[1] in t.fieldNames():
+                    return Val(base.col.getField(seg[1]), t[seg[1]].dataType)
+                return _NULL()
+            if isinstance(t, T.MapType):
+                return Val(base.col.getItem(seg[1]), t.valueType)
+            return _NULL()  # field access on scalar -> null (VRL query miss)
+        if seg[0] == "index":
+            if isinstance(t, T.ArrayType):
+                i = seg[1]
+                pos = i + 1 if i >= 0 else i  # element_at is 1-based; neg ok
+                return Val(F.try_element_at(base.col, F.lit(pos)), t.elementType)
+            return _NULL()
+        if seg[0] == "coalesce":
+            if isinstance(t, T.StructType):
+                vals = [
+                    Val(base.col.getField(n), t[n].dataType)
+                    for n in seg[1] if n in t.fieldNames()
+                ]
+                return self._coalesce_fields(vals)
+            return _NULL()
+        raise VrlUnsupported(f"path segment {seg}")
+
+    def _event_set(self, path: list, val: Val) -> None:
+        if not path:
+            # `. = expr` — replace the event wholesale
+            if not isinstance(val.vtype, T.StructType):
+                raise VrlUnsupported("`. = <non-object>` replacement")
+            for n in list(self.env.order) + list(self.env.fields):
+                self.env.dropped.add(n)
+            for f in val.vtype.fields:
+                self._event_set([("field", f.name)],
+                                Val(val.col.getField(f.name), f.dataType))
+            return
+        head = path[0]
+        if head[0] != "field":
+            raise VrlUnsupported("event root write via index/coalesce")
+        name = head[1]
+        cur = self.env.get_field(name)
+        new = self._with_path(cur, path[1:], val)
+        old_col = _resolve(cur)
+        guarded = self._guard(_resolve(new), old_col)
+        self.env.fields[name] = Val(
+            guarded, new.vtype if self.env.abort is None else
+            _unify_or_none(new.vtype, cur.vtype)
+        )
+        self.env.dropped.discard(name)
+        self.env.cond_dropped.discard(name)
+        if name not in self.env.order:
+            self.env.order.append(name)
+
+    def _with_path(self, cur: Val, path: list, val: Val) -> Val:
+        if not path:
+            return val
+        seg = path[0]
+        if seg[0] == "index":
+            raise VrlUnsupported("array-index assignment")
+        if seg[0] == "coalesce":
+            raise VrlUnsupported("coalesce-path assignment")
+        name = seg[1]
+        if isinstance(cur.vtype, T.StructType) and cur.json is None:
+            inner_cur = self._get_seg(cur, seg)
+            inner = self._with_path(inner_cur, path[1:], val)
+            newt = T.StructType([
+                f if f.name != name else T.StructField(name, inner.vtype or f.dataType)
+                for f in cur.vtype.fields
+            ])
+            if name not in cur.vtype.fieldNames():
+                newt = T.StructType(
+                    list(cur.vtype.fields)
+                    + [T.StructField(name, inner.vtype or T.StringType())]
+                )
+            return Val(cur.col.withField(name, _resolve(inner)), newt)
+        # overwrite non-object with a fresh nested object (VRL semantics)
+        inner = self._with_path(_NULL(), path[1:], val)
+        return Val(
+            F.struct(_resolve(inner).alias(name)),
+            T.StructType([T.StructField(name, inner.vtype or T.StringType())]),
+        )
+
+    # -- expressions -------------------------------------------------------
+    def expr(self, node) -> Val:
+        if isinstance(node, Lit):
+            return self._literal(node)
+        if isinstance(node, Arr):
+            return self._array(node)
+        if isinstance(node, Obj):
+            return self._object(node)
+        if isinstance(node, Block):
+            # a block errors if ANY unhandled fallible expression statement
+            # errors (tests/expressions/block/fallible.vrl: the whole block
+            # value falls through to the `??` default)
+            out = _NULL()
+            errs = []
+            for s in node.stmts:
+                out = self.stmt(s)
+                if not isinstance(s, Assign) and (out.fallible or out.always_err):
+                    errs.append(_resolve(out).isNull())
+            if errs:
+                any_err = errs[0]
+                for e in errs[1:]:
+                    any_err = any_err | e
+                col = F.when(~any_err, _resolve(out))  # else NULL = error
+                return Val(col, out.vtype, fallible=True,
+                           err_msg=out.err_msg)
+            return out
+        if isinstance(node, Var):
+            if node.name not in self.env.vars:
+                raise VrlCompileError(f"undefined variable {node.name}")
+            return self.env.vars[node.name]
+        if isinstance(node, Query):
+            return self._query(node)
+        if isinstance(node, FnCall):
+            return self._call(node)
+        if isinstance(node, If):
+            return self._if(node)
+        if isinstance(node, Op):
+            return self._op(node)
+        if isinstance(node, Not):
+            return self._not(node)
+        if isinstance(node, Abort):
+            return self._abort(node)
+        if isinstance(node, Assign):
+            return self._assign(node)
+        raise VrlUnsupported(f"expression {type(node).__name__}")
+
+    def _literal(self, node: Lit) -> Val:
+        k = node.kind
+        if k == "string":
+            tmpl: Template = node.value
+            lit = tmpl.literal
+            if lit is not None:
+                return _lit(lit, T.StringType())
+            parts = []
+            for kind, v in tmpl.segments:
+                if kind == "lit":
+                    parts.append(F.lit(v))
+                else:
+                    if v not in self.env.vars:
+                        raise VrlCompileError(f"undefined template variable {v}")
+                    parts.append(_resolve(self.env.vars[v]).cast("string"))
+            return Val(F.concat(*parts), T.StringType())
+        if k == "rawstring":
+            return _lit(node.value, T.StringType())
+        if k == "int":
+            return Val(F.lit(node.value).cast("long"), T.LongType(),
+                       pylit=node.value)
+        if k == "float":
+            return _lit(node.value, T.DoubleType())
+        if k == "bool":
+            return _lit(node.value, T.BooleanType())
+        if k == "null":
+            return _NULL()
+        if k == "regex":
+            return Val(F.lit(node.value), _REGEX, pylit=node.value)
+        if k == "timestamp":
+            return Val(
+                F.to_timestamp(F.lit(node.value.replace("T", " ").replace("Z", ""))),
+                T.TimestampType(), pylit=node.value,
+            )
+        raise VrlUnsupported(f"literal kind {k}")
+
+    def _array(self, node: Arr) -> Val:
+        items = [self.expr(i) for i in node.items]
+        if not items:
+            return Val(F.array().cast("array<string>"),
+                       T.ArrayType(T.StringType()))
+        t = items[0].vtype
+        for v in items[1:]:
+            t = _unify(t, v.vtype)
+        if t is None or isinstance(t, T.NullType):
+            t = T.StringType()
+        return Val(F.array(*[_cast_to(v, t) for v in items]), T.ArrayType(t))
+
+    def _object(self, node: Obj) -> Val:
+        if not node.pairs:
+            return Val(F.from_json(F.lit("{}"), T.StructType([])),
+                       T.StructType([]), pylit={})
+        cols, fields = [], []
+        for k, e in node.pairs:
+            v = self.expr(e)
+            cols.append(_resolve(v).alias(k))
+            fields.append(T.StructField(k, v.vtype or T.StringType()))
+        return Val(F.struct(*cols), T.StructType(fields))
+
+    def _query(self, node: Query) -> Val:
+        tkind = node.target[0]
+        if tkind == "event":
+            return self._event_get(node.path)
+        if tkind == "var":
+            base = self.env.vars.get(node.target[1])
+            if base is None:
+                raise VrlCompileError(f"undefined variable {node.target[1]}")
+            for seg in node.path:
+                base = self._get_seg(base, seg)
+            return base
+        if tkind == "expr":
+            # static navigation through literal containers lets paths walk
+            # into heterogeneous literals (and parse_json proxies) exactly
+            cur = node.target[1]
+            path = list(node.path)
+            while path and isinstance(cur, (Arr, Obj)):
+                seg = path[0]
+                if isinstance(cur, Arr) and seg[0] == "index" and 0 <= seg[1] < len(cur.items):
+                    cur = cur.items[seg[1]]
+                    path.pop(0)
+                elif isinstance(cur, Obj) and seg[0] == "field":
+                    match = [e for k, e in cur.pairs if k == seg[1]]
+                    if not match:
+                        return _NULL()
+                    cur = match[0]
+                    path.pop(0)
+                else:
+                    break
+            base = self.expr(cur) if not isinstance(cur, Val) else cur
+            for seg in path:
+                base = self._get_seg(base, seg)
+            return base
+        raise VrlUnsupported(f"query target {tkind}")
+
+    # -- operators ---------------------------------------------------------
+    def _truthy(self, v: Val) -> Column:
+        c = _resolve(v)
+        if isinstance(v.vtype, T.BooleanType):
+            return F.coalesce(c, F.lit(False))
+        if isinstance(v.vtype, T.NullType):
+            return F.lit(False)
+        return c.isNotNull()
+
+    def _op(self, node: Op) -> Val:
+        op = node.op
+        if op == "??":
+            lhs = self.expr(node.lhs)
+            rhs = self.expr(node.rhs)
+            if lhs.always_err:
+                return rhs
+            if not lhs.fallible:
+                return lhs
+            t = _unify(lhs.vtype, rhs.vtype)
+            if t is None:
+                # dynamic (JSON) side: coalesce in JSON-string space
+                out = F.when(_resolve(lhs).isNotNull(), _stringly(lhs)
+                             ).otherwise(_stringly(rhs))
+                return Val(out, None, fallible=rhs.fallible)
+            out = F.when(_resolve(lhs).isNotNull(), _cast_to(lhs, t)).otherwise(
+                _cast_to(rhs, t)
+            )
+            return Val(out, t, fallible=rhs.fallible)
+        lhs = self.expr(node.lhs)
+        rhs = self.expr(node.rhs)
+        if op in ("==", "!="):
+            return self._eq(lhs, rhs, op)
+        if op == "||":
+            return self._or(lhs, rhs)
+        if op == "&&":
+            return self._and(lhs, rhs)
+        if op == "|":
+            return self._merge(lhs, rhs)
+        if op in ("+", "-", "*", "/"):
+            return self._arith(lhs, rhs, op)
+        if op in (">", ">=", "<", "<="):
+            return self._cmp(lhs, rhs, op)
+        raise VrlUnsupported(f"operator {op}")
+
+    def _eq(self, lhs: Val, rhs: Val, op: str) -> Val:
+        lt, rt = lhs.vtype, rhs.vtype
+        if lt is not None and rt is not None and lt != rt:
+            if _is_num(lt) and _is_num(rt):
+                eq = _resolve(lhs).cast("double").eqNullSafe(
+                    _resolve(rhs).cast("double")
+                )
+            elif isinstance(lt, T.NullType) or isinstance(rt, T.NullType):
+                eq = _resolve(lhs).isNull() & _resolve(rhs).isNull()
+            else:
+                eq = F.lit(False)  # cross-type equality is false in VRL
+        else:
+            eq = _resolve(lhs).eqNullSafe(_resolve(rhs))
+        out = eq if op == "==" else ~eq
+        return Val(out, T.BooleanType(),
+                   fallible=lhs.fallible or rhs.fallible)
+
+    def _or(self, lhs: Val, rhs: Val) -> Val:
+        # null/false are falsy; result is lhs value if truthy else rhs value
+        if lhs.pylit is not MISSING and isinstance(lhs.vtype, T.BooleanType):
+            return _lit(True, T.BooleanType()) if lhs.pylit else rhs
+        if isinstance(lhs.vtype, T.NullType):
+            return rhs
+        t = _unify(lhs.vtype, rhs.vtype)
+        if t is None:
+            out = F.when(self._truthy(lhs), _stringly(lhs)).otherwise(
+                _stringly(rhs)
+            )
+            return Val(out, None, fallible=rhs.fallible)
+        out = F.when(self._truthy(lhs), _cast_to(lhs, t)).otherwise(
+            _cast_to(rhs, t)
+        )
+        return Val(out, t, fallible=rhs.fallible)
+
+    def _and(self, lhs: Val, rhs: Val) -> Val:
+        for side in (lhs, rhs):
+            if side.vtype is not None and not isinstance(
+                side.vtype, (T.BooleanType, T.NullType)
+            ):
+                # non-boolean operand: VRL runtime error when evaluated
+                return Val(F.lit(None).cast("boolean"), T.BooleanType(),
+                           fallible=True, always_err=True)
+        out = F.coalesce(_resolve(lhs), F.lit(False)) & F.coalesce(
+            _resolve(rhs), F.lit(False)
+        )
+        return Val(out, T.BooleanType())
+
+    def _merge(self, lhs: Val, rhs: Val) -> Val:
+        if isinstance(lhs.vtype, T.StructType) and isinstance(rhs.vtype, T.StructType):
+            col = lhs.col
+            fields = {f.name: f.dataType for f in lhs.vtype.fields}
+            if not lhs.vtype.fields:
+                # empty-object lhs: result is rhs
+                return rhs
+            for f in rhs.vtype.fields:
+                col = col.withField(f.name, rhs.col.getField(f.name))
+                fields[f.name] = f.dataType
+            return Val(col, T.StructType(
+                [T.StructField(k, v) for k, v in fields.items()]
+            ))
+        if isinstance(lhs.vtype, T.MapType) and isinstance(rhs.vtype, T.MapType):
+            keep = F.map_filter(
+                lhs.col, lambda k, _: ~F.array_contains(F.map_keys(rhs.col), k)
+            )
+            return Val(F.map_concat(keep, rhs.col), lhs.vtype)
+        raise VrlUnsupported("merge on non-object operands")
+
+    def _arith_err(self, lhs: Val, rhs: Val, op: str) -> Val:
+        """Statically-impossible arithmetic: exact reference diagnostics
+        (tests/expressions/arithmetic/*/invalid.vrl are the ground truth)."""
+        ln, rn = _vrl_type_name(lhs.vtype), _vrl_type_name(rhs.vtype)
+        msg = {
+            "+": f"can't add type {rn} to {ln}",
+            "-": f"can't subtract type {rn} from {ln}",
+            "*": f"can't multiply type {ln} by {rn}",
+            "/": f"can't divide type {ln} by {rn}",
+        }[op]
+        return Val(F.lit(None).cast("double"), T.DoubleType(),
+                   fallible=True, always_err=True, err_msg=F.lit(msg))
+
+    def _arith(self, lhs: Val, rhs: Val, op: str) -> Val:
+        lt, rt = lhs.vtype, rhs.vtype
+        lc, rc = _resolve(lhs), _resolve(rhs)
+        fall = lhs.fallible or rhs.fallible
+        if op == "+" and isinstance(lt, T.StringType) and isinstance(rt, T.StringType):
+            # concat_ws: a null (or VRL-null) operand contributes nothing
+            # (tests/expressions/arithmetic/addition/null_string.vrl)
+            return Val(F.concat_ws("", lc, rc), T.StringType(), fallible=fall)
+        if op == "+" and isinstance(lt, T.NullType) and isinstance(rt, T.StringType):
+            return Val(rc, T.StringType(), fallible=rhs.fallible)
+        if op == "+" and isinstance(lt, T.StringType) and isinstance(rt, T.NullType):
+            return Val(lc, T.StringType(), fallible=lhs.fallible)
+        if op == "*":
+            # string repetition (tests/expressions/arithmetic/multiplication)
+            if isinstance(lt, T.StringType) and rt is not None and _is_int(rt):
+                out = F.repeat(lc, F.greatest(rc.cast("int"), F.lit(0)))
+                return Val(out, T.StringType(), fallible=fall)
+            if lt is not None and _is_int(lt) and isinstance(rt, T.StringType):
+                out = F.repeat(rc, F.greatest(lc.cast("int"), F.lit(0)))
+                return Val(out, T.StringType(), fallible=fall)
+        if lhs.always_err or rhs.always_err:
+            bad = lhs if lhs.always_err else rhs
+            return replace(bad, fallible=True, always_err=True)
+        num_ok = (lt is None or _is_num(lt)) and (rt is None or _is_num(rt))
+        if not num_ok:
+            return self._arith_err(lhs, rhs, op)
+        if op == "/":
+            # ANSI-safe: division by zero is a VRL error -> NULL
+            out = F.try_divide(lc.try_cast("double"), rc.try_cast("double"))
+            return Val(out, T.DoubleType(), fallible=True,
+                       err_msg=F.lit("can't divide by zero"))
+        both_int = lt is not None and rt is not None and _is_int(lt) and _is_int(rt)
+        t = T.LongType() if both_int else T.DoubleType()
+        if lt is None or rt is None:
+            t = None
+        a = lc if t is None else lc.try_cast(t)
+        b = rc if t is None else rc.try_cast(t)
+        # try_add/subtract/multiply: integer overflow errors -> NULL
+        out = {"+": F.try_add(a, b), "-": F.try_subtract(a, b),
+               "*": F.try_multiply(a, b)}[op]
+        return Val(out, t, fallible=fall)
+
+    def _cmp(self, lhs: Val, rhs: Val, op: str) -> Val:
+        lt, rt = lhs.vtype, rhs.vtype
+        comparable = (
+            lt is None or rt is None
+            or (_is_num(lt) and _is_num(rt))
+            or lt == rt
+        )
+        if not comparable:
+            return Val(F.lit(None).cast("boolean"), T.BooleanType(),
+                       fallible=True, always_err=True)
+        lc, rc = _resolve(lhs), _resolve(rhs)
+        if lt is not None and rt is not None and _is_num(lt) and _is_num(rt) and lt != rt:
+            lc, rc = lc.cast("double"), rc.cast("double")
+        out = {"<": lc < rc, "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc}[op]
+        ae = lhs.always_err or rhs.always_err
+        return Val(out, T.BooleanType(),
+                   fallible=lhs.fallible or rhs.fallible or ae,
+                   always_err=ae,
+                   err_msg=lhs.err_msg if lhs.always_err else rhs.err_msg)
+
+    def _not(self, node: Not) -> Val:
+        v = self.expr(node.expr)
+        if v.vtype is not None and not isinstance(v.vtype, (T.BooleanType, T.NullType)):
+            return Val(F.lit(None).cast("boolean"), T.BooleanType(),
+                       fallible=True, always_err=True)
+        return Val(~_resolve(v).try_cast("boolean"), T.BooleanType(),
+                   fallible=v.fallible)
+
+    # -- if/else -----------------------------------------------------------
+    def _if(self, node: If) -> Val:
+        pred = self.expr(node.pred)
+        if pred.vtype is not None and not isinstance(
+            pred.vtype, (T.BooleanType, T.NullType)
+        ):
+            raise VrlCompileError("if-predicate must be boolean")
+        if pred.fallible:
+            raise VrlCompileError("if-predicate must be infallible (handle with ??)")
+        predc = F.coalesce(_resolve(pred).try_cast("boolean"), F.lit(False))
+
+        base = self.env
+        env_t = base.clone()
+        self.env = env_t
+        then_val = self.expr(node.then)
+        env_e = base.clone()
+        self.env = env_e
+        else_val = self.expr(node.orelse) if node.orelse is not None else _NULL()
+        self.env = base
+        self._merge_envs(predc, env_t, env_e)
+        t = _unify_or_none(then_val.vtype, else_val.vtype)
+        out = F.when(predc, _cast_to(then_val, t)).otherwise(_cast_to(else_val, t))
+        return Val(out, t,
+                   fallible=then_val.fallible or else_val.fallible)
+
+    def _merge_envs(self, predc: Column, env_t: Env, env_e: Env) -> None:
+        base = self.env
+
+        def merged(tv: Val, ev: Val) -> Val:
+            if tv is ev:
+                return tv
+            t = _unify_or_none(tv.vtype, ev.vtype)
+            return Val(F.when(predc, _cast_to(tv, t)).otherwise(_cast_to(ev, t)), t)
+
+        for name in set(env_t.fields) | set(env_e.fields) | (
+            env_t.dropped | env_e.dropped
+        ):
+            tv = env_t.get_field(name)
+            ev = env_e.get_field(name)
+            if name in (env_t.dropped | env_e.dropped):
+                # conditional delete -> null out (divergence: null vs missing)
+                base.dropped.discard(name)
+            base.fields[name] = merged(tv, ev)
+            if name not in base.order:
+                base.order.append(name)
+        for name in set(env_t.vars) | set(env_e.vars):
+            tv = env_t.vars.get(name, base.vars.get(name, _NULL()))
+            ev = env_e.vars.get(name, base.vars.get(name, _NULL()))
+            base.vars[name] = merged(tv, ev)
+        if env_t.abort is not None or env_e.abort is not None:
+            ta = env_t.abort if env_t.abort is not None else F.lit(False)
+            ea = env_e.abort if env_e.abort is not None else F.lit(False)
+            base.abort = F.when(predc, ta).otherwise(ea)
+
+    # -- function calls ----------------------------------------------------
+    def _call(self, node: FnCall) -> Val:
+        name = node.name
+        if node.closure is not None:
+            raise VrlUnsupported(f"closure argument to {name}")
+        if name == "del":
+            return self._del(node)
+        if name == "exists":
+            return self._exists(node)
+        if name in ("assert", "assert_eq"):
+            return self._assert(node)
+        if name in _TYPE_ASSERTS:
+            return self._type_assert(node)
+        if name in _IS_TESTS:
+            v = self.expr(node.args[0][1])
+            want = _IS_TESTS[name]
+            res = isinstance(v.vtype, want) if want is not type(None) else (
+                v.vtype is _REGEX
+            )
+            return _lit(bool(res), T.BooleanType())
+        if name == "parse_json":
+            v = self.expr(node.args[0][1])
+            out = Val(F.lit(None), None, fallible=True,
+                      json=(_resolve(v), "$"))
+            return self._bangify(node, out, v)
+        if name in ("type_def", "get_env_var", "log"):
+            raise VrlUnsupported(f"{name}() has no DataFrame analogue")
+        return self._registry_call(node)
+
+    def _bangify(self, node: FnCall, out: Val, first_arg: Val | None) -> Val:
+        if not node.bang:
+            return out
+        res = _resolve(out)
+        err = res.isNull()
+        if first_arg is not None:
+            err = err & _resolve(first_arg).isNotNull()
+        self._note_abort(err)
+        return replace(out, fallible=False, always_err=False)
+
+    def _del(self, node: FnCall) -> Val:
+        arg = node.args[0][1]
+        if not (isinstance(arg, Query) and arg.target[0] == "event"):
+            raise VrlUnsupported("del() on non-event path")
+        path = arg.path
+        old = self._event_get(path)
+        if len(path) == 1 and path[0][0] == "field":
+            name = path[0][1]
+            if self.env.abort is not None:
+                self.env.fields[name] = Val(
+                    self._guard(F.lit(None), _resolve(old)),
+                    old.vtype,
+                )
+                self.env.cond_dropped.add(name)
+            else:
+                self.env.fields.pop(name, None)
+                self.env.dropped.add(name)
+        elif path and path[0][0] == "field" and all(s[0] == "field" for s in path):
+            name = path[0][1]
+            cur = self.env.get_field(name)
+            if isinstance(cur.vtype, T.StructType):
+                inner = ".".join(s[1] for s in path[1:])
+                newt = _drop_struct_field(cur.vtype, [s[1] for s in path[1:]])
+                self.env.fields[name] = Val(
+                    self._guard(cur.col.dropFields(inner), _resolve(cur)), newt
+                )
+        else:
+            raise VrlUnsupported("del() with index path")
+        return old
+
+    def _exists(self, node: FnCall) -> Val:
+        arg = node.args[0][1]
+        if not (isinstance(arg, Query) and arg.target[0] == "event"):
+            raise VrlUnsupported("exists() on non-event path")
+        path = arg.path
+        if len(path) == 1 and path[0][0] == "field":
+            return _lit(self.env.has_field(path[0][1]), T.BooleanType())
+        v = self._event_get(path)
+        if isinstance(v.vtype, T.NullType):
+            return _lit(False, T.BooleanType())
+        return Val(_resolve(v).isNotNull(), T.BooleanType())
+
+    def _assert(self, node: FnCall) -> Val:
+        if node.name == "assert_eq":
+            a = self.expr(node.args[0][1])
+            b = self.expr(node.args[1][1])
+            cond = self._eq(a, b, "==")
+        else:
+            cond = self.expr(node.args[0][1])
+        failed = ~F.coalesce(_resolve(cond).try_cast("boolean"), F.lit(False))
+        if node.bang:
+            self._note_abort(failed)
+            return _lit(True, T.BooleanType())
+        return Val(F.when(failed, F.lit(None)).otherwise(F.lit(True)),
+                   T.BooleanType(), fallible=True)
+
+    def _type_assert(self, node: FnCall) -> Val:
+        want = _TYPE_ASSERTS[node.name]
+        v = self.expr(node.args[0][1])
+        matches = isinstance(v.vtype, want) or (
+            want is T.DoubleType and _is_num(v.vtype or T.NullType())
+        )
+        if v.vtype is None:
+            # dynamic (JSON proxy): cast on faith
+            casts = {"integer": "long", "float": "double", "string": "string",
+                     "boolean": "boolean"}
+            if node.name in casts:
+                out = Val(_resolve(v).try_cast(casts[node.name]),
+                          _TYPE_ASSERTS[node.name](), fallible=True)
+                return self._bangify(node, out, None)
+            raise VrlUnsupported(f"{node.name}() on dynamic value")
+        if matches:
+            out = replace(v, fallible=True)  # null value = assertion error
+            return self._bangify(node, out, None)
+        # static type mismatch: always errors at runtime in VRL
+        if node.bang:
+            self._note_abort(F.lit(True))
+            return replace(v, fallible=False)
+        return Val(F.lit(None).cast("string"), T.StringType(),
+                   fallible=True, always_err=True)
+
+    # python null-substitute, cast target, result type (Columns are
+    # built lazily: no SparkContext exists at import time)
+    _NULL_COERCE = {
+        "to_int": (0, "long", T.LongType()),
+        "to_float": (0.0, "double", T.DoubleType()),
+        "to_bool": (False, "boolean", T.BooleanType()),
+        "to_string": ("", "string", T.StringType()),
+    }
+
+    def _registry_call(self, node: FnCall) -> Val:
+        from vector_spark.functions.vrl_map import VRL
+
+        name = node.name
+        if name in self._NULL_COERCE:
+            return self._to_coerce(node)
+        ent = VRL.get(name)
+        if ent is None or ent.fn is None:
+            raise VrlUnsupported(f"function {name} has no Column builder")
+        pos, kw = [], {}
+        vals = []
+        for arg_name, e in node.args:
+            v = self.expr(e)
+            vals.append(v)
+            # registry callables take (value_column, *python_literals); a
+            # null literal must stay a Column (None would be a missing arg)
+            if v.pylit is not MISSING and v.pylit is not None:
+                pyarg = v.pylit
+            else:
+                pyarg = _resolve(v)
+            if arg_name == "value":
+                # `value:` is VRL's name for the subject argument
+                pos.insert(0, pyarg)
+            elif arg_name:
+                kw[arg_name] = pyarg
+            else:
+                pos.append(pyarg)
+        if pos and isinstance(pos[0], (str, int, float, bool)):
+            pos[0] = F.lit(pos[0])  # first arg is always the value column
+        try:
+            col = ent.fn(*pos, **kw)
+        except TypeError as e:
+            raise VrlUnsupported(f"{name}(): {e}") from e
+        out = Val(col, _RET.get(name), fallible=_fallible_fn(name))
+        return self._bangify(node, out, vals[0] if vals else None)
+
+    def _to_coerce(self, node: FnCall) -> Val:
+        name = node.name
+        null_py, cast_t, vtype = self._NULL_COERCE[name]
+        null_sub = F.lit(null_py)
+        v = self.expr(node.args[0][1])
+        c = _resolve(v)
+        if isinstance(v.vtype, (T.ArrayType, T.StructType, T.MapType)) or (
+            v.vtype is _REGEX
+        ):
+            # VRL cannot coerce collections/regexes to scalars
+            tn = _vrl_type_name(v.vtype)
+            return Val(
+                F.lit(None).cast(cast_t), vtype, fallible=True,
+                always_err=True,
+                err_msg=F.lit(f"unable to coerce {tn} into {name[3:]}"),
+            )
+        if name == "to_bool" and isinstance(v.vtype, T.StringType):
+            from vector_spark.functions import vrl_compat as V
+
+            base = V.to_bool(c)
+        elif name == "to_int" and isinstance(v.vtype, T.TimestampType):
+            base = c.try_cast("long")
+        elif name == "to_string" and isinstance(v.vtype, T.BooleanType):
+            base = F.when(c, "true").otherwise("false")
+        else:
+            base = c.try_cast(cast_t)
+        out = F.when(c.isNull(), null_sub).otherwise(base)
+        # fallible only when a runtime parse can fail (string sources)
+        fall = isinstance(v.vtype, (T.StringType,)) or v.vtype is None
+        if name == "to_string":
+            fall = False
+        out_v = Val(out, vtype, fallible=fall)
+        return self._bangify(node, out_v, v)
+
+
+def _unify_or_none(a, b):
+    try:
+        return _unify(a, b)
+    except VrlUnsupported:
+        return None
+
+
+def _drop_struct_field(t: T.StructType, names: list) -> T.StructType:
+    if len(names) == 1:
+        return T.StructType([f for f in t.fields if f.name != names[0]])
+    return T.StructType([
+        f if f.name != names[0] else T.StructField(
+            f.name, _drop_struct_field(f.dataType, names[1:])
+        )
+        for f in t.fields
+    ])
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CompiledVrl:
+    source: str
+    env: Env
+    result: Val
+    # when the program's final expression is an array literal whose items
+    # cannot share one Spark type (VRL arrays are heterogeneous), the items
+    # compile to individual result slots instead (golden-replay support)
+    result_items: list | None = None
+
+    def apply(self, df, drop_aborted: bool = True, result_col: str | None = None):
+        """Run the program over a DataFrame.
+
+        Returns the transformed frame; aborted rows are dropped (the
+        remap drop-on-abort path) unless drop_aborted=False, in which
+        case an `_aborted` boolean column is kept for routing.
+        """
+        env = self.env
+        hidden = set(env.dropped)
+        if drop_aborted:
+            # aborted rows are not emitted, so conditionally-deleted
+            # columns are simply gone
+            hidden |= env.cond_dropped
+        cols = []
+        for n in env.order:
+            if n in hidden:
+                continue
+            cols.append(_resolve(env.get_field(n)).alias(n))
+        for n in env.fields:
+            if n not in env.order and n not in hidden:
+                cols.append(_resolve(env.fields[n]).alias(n))
+        if result_col:
+            if self.result_items is not None:
+                for i, v in enumerate(self.result_items):
+                    cols.append(_resolve(v).alias(f"{result_col}{i}"))
+            else:
+                cols.append(_resolve(self.result).alias(result_col))
+        abort = env.abort
+        if abort is not None:
+            cols.append(F.coalesce(abort, F.lit(False)).alias("_aborted"))
+        out = df.select(*cols)
+        if abort is not None and drop_aborted:
+            out = out.filter(~F.col("_aborted")).drop("_aborted")
+        return out
+
+
+def compile_vrl(
+    source: str,
+    schema: T.StructType | None = None,
+    split_array_result: bool = False,
+) -> CompiledVrl:
+    """Compile VRL source against a DataFrame schema."""
+    prog = parse_vrl(source)
+    comp = _Compiler(schema or T.StructType([]))
+    if split_array_result and prog.stmts and isinstance(prog.stmts[-1], Arr):
+        comp.run(Program(prog.stmts[:-1]))
+        items = [comp.expr(e) for e in prog.stmts[-1].items]
+        return CompiledVrl(source, comp.env, _NULL(), result_items=items)
+    result = comp.run(prog)
+    return CompiledVrl(source, comp.env, result)
+
+
+def eval_vrl(spark, source: str, obj: dict | None = None):
+    """Golden-replay harness: run a VRL program over one event.
+
+    Returns (result_value, event_dict, aborted) as plain Python values.
+    The event is built via the JSON reader so nested objects become
+    structs (typed like real data), exactly one row.
+    """
+    import json as _json
+
+    sdf = spark.read.json(
+        spark.sparkContext.parallelize([_json.dumps(obj or {})])
+    )
+    if obj in (None, {}):
+        sdf = spark.range(1).select()
+    compiled = compile_vrl(source, sdf.schema, split_array_result=True)
+    out = compiled.apply(sdf, drop_aborted=False, result_col="__r")
+    row = out.collect()[0].asDict(recursive=True)
+    aborted = bool(row.pop("_aborted", False))
+
+    def _unproxy(v, val):
+        # JSON-proxy and dynamic results are stringly typed; recover the
+        # JSON value ("false" -> False, "5" -> 5; bare words stay strings)
+        if val is not None and (
+            val.json is not None or val.vtype is None
+        ) and isinstance(v, str):
+            try:
+                return _json.loads(v)
+            except _json.JSONDecodeError:
+                return v
+        return v
+
+    if compiled.result_items is not None:
+        result = [
+            _unproxy(row.pop(f"__r{i}"), compiled.result_items[i])
+            for i in range(len(compiled.result_items))
+        ]
+    else:
+        result = _unproxy(row.pop("__r"), compiled.result)
+    return result, row, aborted
+
+
+def remap_vrl(df, source: str, drop_aborted: bool = True):
+    """vector's remap-with-VRL-source transform, compiled to Columns.
+
+    Reference: src/transforms/remap.rs (VRL program over each event);
+    here the program compiles once against df.schema and runs as native
+    expressions inside whole-stage codegen.
+    """
+    return compile_vrl(source, df.schema).apply(df, drop_aborted=drop_aborted)

@@ -24,9 +24,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _dropped_annotation(component_id: str, message: Column) -> Column:
+def _dropped_annotation(
+    component_id: str, message: Column, reason: str = "error"
+) -> Column:
+    # remap.rs:426-441: reason is "abort" for VRL aborts, "error" else
     return F.struct(
-        F.lit("error").alias("reason"),
+        F.lit(reason).alias("reason"),
         message.alias("message"),
         F.lit(component_id).alias("component_id"),
         F.lit("remap").alias("component_type"),
@@ -74,6 +77,47 @@ class Remap:
         if not self.reroute_dropped:
             dropped = dropped.limit(0)
         return ok, dropped
+
+
+def remap_source(
+    df: DataFrame,
+    source: str,
+    drop_on_abort: bool = True,
+    reroute_dropped: bool = True,
+    component_id: str = "remap",
+) -> tuple[DataFrame, DataFrame]:
+    """remap configured with VRL *source* (remap.rs `source` option):
+    the program compiles once against df.schema to native Columns
+    (functions/vrl_codegen.py), aborted events land on the dropped
+    port with the same annotation struct as the expression form.
+
+    Returns (ok_df, dropped_df). With drop_on_abort=False the aborted
+    rows stay on the main output unmodified-from-abort-point, matching
+    remap.rs drop_on_abort=false.
+    """
+    from vector_spark.functions.vrl_codegen import compile_vrl
+
+    compiled = compile_vrl(source, df.schema)
+    out = compiled.apply(df, drop_aborted=False)
+    if "_aborted" not in out.columns:
+        # program has no abort path: dropped port is statically empty
+        return out, out.limit(0).withColumn(
+            "metadata_dropped",
+            _dropped_annotation(component_id, F.lit("aborted"), "abort"),
+        )
+    if not drop_on_abort:
+        return out.drop("_aborted"), out.limit(0).drop("_aborted").withColumn(
+            "metadata_dropped",
+            _dropped_annotation(component_id, F.lit("aborted"), "abort"),
+        )
+    ok = out.filter(~F.col("_aborted")).drop("_aborted")
+    dropped = out.filter(F.col("_aborted")).drop("_aborted")
+    if reroute_dropped:
+        dropped = dropped.withColumn(
+            "metadata_dropped",
+            _dropped_annotation(component_id, F.lit("aborted"), "abort"),
+        )
+    return ok, dropped
 
 
 def remap(

@@ -3417,6 +3417,66 @@ FROM events
 """
 
 
+_REMAP_VRL_SOURCE = '''
+# vector remap with VRL SOURCE, compiled to native Spark Columns
+# (functions/vrl_lang.py + vrl_codegen.py). Mirrors the reference's
+# transforms/remap.rs drop-on-abort semantics: system turns abort and
+# are routed off the main output.
+.role = downcase(string!(.role))
+if .role == "system" { abort }
+.is_tool = .role == "tool"
+.tool = .tool || "none"
+.text_len = length(.text)
+.ts_epoch = to_unix_timestamp!(.ts)
+.level = parse_json(.text).level ?? "none"
+.attempt = parse_json(.text).attempt ?? "-1"
+'''
+
+
+def q_op_remap_vrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remap driven by VRL *source* (the reference's primary transform
+    authoring surface, src/transforms/remap.rs): the program compiles
+    once against the transcripts schema into pure Catalyst expressions
+    (whole-stage codegen, zero Python, JSON paths via get_json_object)
+    and exercises type-assert + abort routing, ||-defaulting, the
+    parse_json proxy, `??` error coalescing and to_int on a dynamic
+    value. The compiler itself is golden-verified against the
+    reference's own e2e corpus (tests/test_vrl_compiler.py replays
+    lib/vrl/tests/tests/expressions/ exactly)."""
+    from vector_spark.functions.vrl_codegen import remap_vrl
+
+    t = transcripts(spark, sf_dir)
+    out = remap_vrl(t, _REMAP_VRL_SOURCE)
+    return out.select(
+        "conv_id", "turn_idx", "role", "is_tool", "tool",
+        F.col("text_len").cast("bigint").alias("text_len"),
+        "ts_epoch",
+        "level",
+        # VRL dynamic values are stringly (get_json_object space); the
+        # sink schema decides the storage type, as remap configs do
+        F.col("attempt").cast("bigint").alias("attempt"),
+    )
+
+
+SQL_OP_REMAP_VRL = f"""
+SELECT conv_id, turn_idx,
+       lower(role) AS role,
+       lower(role) = 'tool' AS is_tool,
+       coalesce(tool, 'none') AS tool,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_epoch,
+       coalesce(CASE WHEN json_valid(text)
+                     THEN json_extract_string(text, '$.level') END,
+                'none') AS level,
+       coalesce(CASE WHEN json_valid(text)
+                     THEN try_cast(json_extract_string(text, '$.attempt')
+                                   AS BIGINT) END,
+                -1) AS attempt
+FROM read_parquet('{ORACLE_TRANSCRIPTS}')
+WHERE lower(role) <> 'system'
+"""
+
+
 def q_op_route_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-kind envelope + IsLog/IsMetric/IsTrace type-test
     conditions (src/conditions/mod.rs:22-47) driving a route fan-out:
@@ -3469,11 +3529,14 @@ SELECT '_unmatched', CAST(0 AS BIGINT)
 # stable remainder; the >50 tail holds only queries untouched this
 # round whose green evidence is freshest (previous round's gate).
 QUERIES = {
-    # -- new or plan/oracle changed this round (r5): grok json filter
-    # query; multimodal rewritten onto the real PNG codec (decoder,
-    # synth payloads, and oracle all changed); packing gained the
-    # localCheckpoint layout pin; lm_quality gained the materialize
-    # lifecycle; components gained the dual-hash fixpoint test
+    # -- new or plan/oracle changed this round (r5): the VRL source
+    # compiler (remap programs as VRL text -> native Columns); grok
+    # json filter query; multimodal rewritten onto the real PNG codec
+    # (decoder, synth payloads, and oracle all changed); packing
+    # gained the localCheckpoint layout pin; lm_quality gained the
+    # materialize lifecycle; components gained the dual-hash fixpoint
+    # test
+    "op_remap_vrl": q_op_remap_vrl,
     "op_parse_grok_json": q_op_parse_grok_json,
     "dp_url_dedup": q_dp_url_dedup,
     "dp_sample_n": q_dp_sample_n,
@@ -3579,6 +3642,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "op_remap_vrl": SQL_OP_REMAP_VRL,
     "op_parse_grok_json": SQL_OP_PARSE_GROK_JSON,
     "dp_span_dedup": SQL_DP_SPAN_DEDUP,
     "dp_redact": SQL_DP_REDACT,
