@@ -46,7 +46,6 @@ KNOWN_DIVERGENT = {
 ALLOWED_SKIP_MARKERS = (
     "type_def()",                # VRL type reflection == DataFrame schema
     "%metadata",                 # no event metadata on a DataFrame row
-    "array-index assignment",    # documented subset gap
     "closure argument",          # HOF closures are per-function features
     "expected-error test",       # file asserts compiler diagnostics
     "non-JSON expected result",  # result is diagnostic text / regex literal
@@ -154,8 +153,8 @@ def test_vrl_corpus_replay(spark):
         if not any(m in why for m in ALLOWED_SKIP_MARKERS)
     ]
     assert not bad_skips, f"unexplained skips: {bad_skips[:5]}"
-    # locked-in floor: 86 in-scope files replay exactly (never regress)
-    assert len(passed) >= 86, f"only {len(passed)} corpus files passed"
+    # locked-in floor: 91 in-scope files replay exactly (never regress)
+    assert len(passed) >= 91, f"only {len(passed)} corpus files passed"
 
 
 def test_remap_vrl_operator(spark):

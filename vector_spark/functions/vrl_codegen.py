@@ -522,9 +522,15 @@ class _Compiler:
                                 Val(val.col.getField(f.name), f.dataType))
             return
         head = path[0]
-        if head[0] != "field":
-            raise VrlUnsupported("event root write via index/coalesce")
-        name = head[1]
+        if head[0] == "coalesce":
+            # write to the first existing field, else the last alternative
+            name = next(
+                (n for n in head[1] if self.env.has_field(n)), head[1][-1]
+            )
+        elif head[0] != "field":
+            raise VrlUnsupported("event root write via index")
+        else:
+            name = head[1]
         cur = self.env.get_field(name)
         new = self._with_path(cur, path[1:], val)
         old_col = _resolve(cur)
@@ -543,10 +549,21 @@ class _Compiler:
             return val
         seg = path[0]
         if seg[0] == "index":
-            raise VrlUnsupported("array-index assignment")
+            return self._with_index(cur, seg[1], path[1:], val)
         if seg[0] == "coalesce":
-            raise VrlUnsupported("coalesce-path assignment")
-        name = seg[1]
+            # coalesce-path assignment writes to the FIRST existing field,
+            # falling back to the last alternative
+            # (tests/expressions/assignment/single_external_complex.vrl)
+            names = seg[1]
+            name = names[-1]
+            if isinstance(cur.vtype, T.StructType):
+                for n in names:
+                    if n in cur.vtype.fieldNames():
+                        name = n
+                        break
+            seg = ("field", name)
+        else:
+            name = seg[1]
         if isinstance(cur.vtype, T.StructType) and cur.json is None:
             inner_cur = self._get_seg(cur, seg)
             inner = self._with_path(inner_cur, path[1:], val)
@@ -566,6 +583,62 @@ class _Compiler:
             F.struct(_resolve(inner).alias(name)),
             T.StructType([T.StructField(name, inner.vtype or T.StringType())]),
         )
+
+    def _with_index(self, cur: Val, i: int, rest: list, val: Val) -> Val:
+        """Array-index assignment with VRL's hole/extension semantics
+        (tests/expressions/assignment/indexing.vrl is the ground truth):
+
+        - positive i past the end extends with NULL holes then writes
+          at i (`.x[5] = v` on [] -> [null x5? no: null,null,null,null,null,v]);
+        - negative i within bounds writes at len-|i|;
+        - negative i past the front PREPENDS: [v] ++ existing ++ NULL
+          holes up to length |i| (`v2[-2] = 3` on [] -> [3, null]).
+        """
+        if isinstance(cur.vtype, T.ArrayType) and cur.json is None:
+            elem_t = cur.vtype.elementType
+            inner_cur = Val(F.try_element_at(cur.col, F.lit(i + 1 if i >= 0 else i)),
+                            elem_t)
+        else:
+            # non-array (or missing) target is overwritten with an array
+            elem_t = T.NullType()
+            inner_cur = _NULL()
+        inner = self._with_path(inner_cur, rest, val)
+        et = _unify_or_none(elem_t, inner.vtype)
+        if et is None or isinstance(et, T.NullType):
+            et = inner.vtype if inner.vtype and not isinstance(
+                inner.vtype, T.NullType) else T.StringType()
+        arr = (
+            cur.col.try_cast(T.ArrayType(et))
+            if isinstance(cur.vtype, T.ArrayType)
+            else F.lit(None).cast(T.ArrayType(et))
+        )
+        arr0 = F.coalesce(arr, F.array().cast(T.ArrayType(et)))
+        n = F.size(arr0)
+        v = _cast_to(inner, et)
+        if i >= 0:
+            idx = F.lit(i)
+            new = F.transform(
+                F.sequence(F.lit(0), F.greatest(n - 1, idx)),
+                lambda j: F.when(j == idx, v).otherwise(
+                    F.when(j < n, F.try_element_at(arr0, j + 1))
+                ),
+            )
+        else:
+            m = -i
+            pos = n - F.lit(m)
+            replaced = F.transform(
+                F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+                lambda j: F.when(j == pos, v).otherwise(
+                    F.try_element_at(arr0, j + 1)
+                ),
+            )
+            prepended = F.concat(
+                F.array(v),
+                arr0,
+                F.array_repeat(F.lit(None).cast(et), F.lit(m) - 1 - n),
+            )
+            new = F.when(n >= m, replaced).otherwise(prepended)
+        return Val(new, T.ArrayType(et))
 
     # -- expressions -------------------------------------------------------
     def expr(self, node) -> Val:
