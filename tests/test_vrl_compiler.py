@@ -194,6 +194,29 @@ def test_remap_vrl_abort_routes_to_dropped(spark):
     assert flags == {"a": False, "b": True}
 
 
+def test_vrl_closures(spark):
+    """HOF closures compile to Spark lambda functions (filter /
+    transform / transform_values), with VRL's |index, value| binding
+    on arrays and static per-field expansion on objects."""
+    src = '''
+    factor = 10
+    .kept = filter(.nums) -> |i, v| { v * factor > 20 && i >= 0 }
+    .doubled = map_values(.nums) -> |v| { v * 2 }
+    .flags = map_values(.obj) -> |v| { v == "on" }
+    .
+    '''
+    got, event, aborted = eval_vrl(
+        spark, src, {"nums": [1, 2, 3, 4], "obj": {"a": "on", "b": "off"}}
+    )
+    assert got["kept"] == [3, 4]
+    assert got["doubled"] == [2, 4, 6, 8]
+    assert got["flags"] == {"a": True, "b": False}
+    # outer mutation inside a closure has no Column analogue: rejected
+    with pytest.raises(VrlUnsupported):
+        eval_vrl(spark, 'x = 1\nmap_values(.n) -> |v| { x = v\nv }\n.x',
+                 {"n": [1]})
+
+
 def test_remap_source_two_ports(spark):
     """operators/remap.py remap_source: VRL-source program with the
     expression-form's (ok, dropped) port contract and annotation."""

@@ -1032,7 +1032,7 @@ class _Compiler:
     def _call(self, node: FnCall) -> Val:
         name = node.name
         if node.closure is not None:
-            raise VrlUnsupported(f"closure argument to {name}")
+            return self._closure_call(node)
         if name == "del":
             return self._del(node)
         if name == "exists":
@@ -1056,6 +1056,122 @@ class _Compiler:
         if name in ("type_def", "get_env_var", "log"):
             raise VrlUnsupported(f"{name}() has no DataFrame analogue")
         return self._registry_call(node)
+
+    def _closure_call(self, node: FnCall) -> Val:
+        """VRL higher-order functions with closures, compiled to Spark
+        lambda functions (filter/transform/map_* — JVM-side, no Python).
+
+        VRL closure signatures (stdlib {filter,map_values,map_keys}.rs):
+        arrays bind |index, value|, objects |key, value| for filter;
+        map_values binds |value|, map_keys binds |key|. Closures here
+        are pure expressions — VRL's outer-variable mutation
+        (closure_scope_inheritance.vrl) has no Column analogue and is
+        rejected at compile time.
+        """
+        name = node.name
+        if name not in ("filter", "map_values", "map_keys"):
+            raise VrlUnsupported(f"closure argument to {name}")
+        for arg_name, e in node.args[1:]:
+            v = self.expr(e)
+            if arg_name == "recursive" and v.pylit is True:
+                raise VrlUnsupported("recursive map_values/map_keys")
+        target = self.expr(node.args[0][1])
+        params, body = node.closure
+        t = target.vtype
+
+        def run_body(bindings: dict) -> Val:
+            base = self.env
+            env2 = base.clone()
+            self.env = env2
+            try:
+                for k, v in bindings.items():
+                    if k and k != "_":
+                        env2.vars[k] = v
+            finally:
+                pass
+            try:
+                out = self.expr(body)
+            finally:
+                self.env = base
+            changed = (
+                set(env2.fields) != set(base.fields)
+                or any(env2.fields[k] is not base.fields[k] for k in base.fields)
+                or env2.abort is not base.abort
+                or any(
+                    k in base.vars and env2.vars[k] is not base.vars[k]
+                    for k in env2.vars
+                )
+            )
+            if changed:
+                raise VrlUnsupported("closure mutates outer state")
+            return out
+
+        def p(i):
+            return params[i] if i < len(params) else "_"
+
+        if isinstance(t, T.ArrayType):
+            elem = t.elementType
+            if name == "filter":
+                # VRL binds |index, value| on arrays
+                def pred(x, i):
+                    out = run_body({p(0): Val(i, T.LongType()),
+                                    p(1): Val(x, elem)})
+                    return F.coalesce(
+                        _resolve(out).try_cast("boolean"), F.lit(False)
+                    )
+                return Val(F.filter(target.col, pred), t)
+            if name == "map_values":
+                holder = {}
+
+                def fn(x):
+                    out = run_body({p(0): Val(x, elem)})
+                    holder["t"] = out.vtype
+                    return _resolve(out)
+                col = F.transform(target.col, fn)
+                return Val(col, T.ArrayType(holder.get("t") or T.StringType()))
+            raise VrlUnsupported("map_keys on array")
+        if isinstance(t, T.MapType):
+            kt, vt = t.keyType, t.valueType
+            if name == "filter":
+                def pred2(k, v):
+                    out = run_body({p(0): Val(k, kt), p(1): Val(v, vt)})
+                    return F.coalesce(
+                        _resolve(out).try_cast("boolean"), F.lit(False)
+                    )
+                return Val(F.map_filter(target.col, pred2), t)
+            if name == "map_values":
+                holder = {}
+
+                def fnv(k, v):
+                    out = run_body({p(0): Val(v, vt)})
+                    holder["t"] = out.vtype
+                    return _resolve(out)
+                col = F.transform_values(target.col, fnv)
+                return Val(col, T.MapType(kt, holder.get("t") or T.StringType()))
+            holder = {}
+
+            def fnk(k, v):
+                out = run_body({p(0): Val(k, kt)})
+                holder["t"] = out.vtype
+                return _resolve(out)
+            col = F.transform_keys(target.col, fnk)
+            return Val(col, T.MapType(holder.get("t") or T.StringType(), vt))
+        if isinstance(t, T.StructType):
+            if name == "map_values":
+                # static expansion: one body instance per field
+                cols, fields = [], []
+                for f in t.fields:
+                    out = run_body({
+                        p(0): Val(target.col.getField(f.name), f.dataType)
+                    })
+                    cols.append(_resolve(out).alias(f.name))
+                    fields.append(
+                        T.StructField(f.name, out.vtype or T.StringType())
+                    )
+                return Val(F.struct(*cols), T.StructType(fields))
+            # filter/map_keys change the static field set per-row
+            raise VrlUnsupported(f"{name} closure on object (static schema)")
+        raise VrlUnsupported(f"{name} closure on {_vrl_type_name(t)}")
 
     def _bangify(self, node: FnCall, out: Val, first_arg: Val | None) -> Val:
         if not node.bang:
