@@ -200,6 +200,7 @@ def run_bench(sf_dir: str, cores: int) -> dict:
         "dp_pack_chunks",
         "dp_curate_corpus",
         # round 5 additions
+        "op_remap_vrl",
         "op_parse_grok_json",
         "mm_features_checked",
         "dp_url_dedup",
