@@ -446,3 +446,30 @@ def test_stream_line_agg_timeout_flush(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_stream_remap_vrl_matches_batch(spark, stream_source, tmp_path):
+    """Compiled VRL programs are pure Column expressions, so the same
+    remap runs unchanged on a streaming frame (the reference's remap
+    is stream-native by construction; here stream/batch parity is the
+    check). Includes the abort path: aborted rows are filtered from
+    the stream exactly as from the batch frame."""
+    from vector_spark.functions.vrl_codegen import remap_vrl
+
+    src = '''
+    .role = downcase(string!(.role))
+    if .role == "system" { abort }
+    .text_len = length(.text)
+    .tool = .tool || "none"
+    '''
+    sdf = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source)
+    got = run_stream(spark, remap_vrl(sdf, src), tmp_path).toPandas()
+    batch = remap_vrl(spark.read.parquet(stream_source), src).toPandas()
+    key = ["conv_id", "turn_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)[list(got.columns)]
+    assert len(got) == len(batch) and len(got) > 0
+    assert (got["role"] != "system").all()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
