@@ -418,3 +418,35 @@ def test_pipelines_macro_null_kind_and_empty(spark):
         "transforms": {"p": {"type": "pipelines", "inputs": ["ev"]}},
     }
     assert Pipeline(empty, spark).compile({"ev": df})["p"].count() == 3
+
+
+def test_toml_remap_with_vrl_source(spark, events_df):
+    """A vector.toml remap with a real VRL `source` block (the
+    reference's native authoring surface) compiles through the spec
+    DAG: program text -> vrl_codegen Columns -> (ok, dropped) ports."""
+    toml_text = '''
+[sources.ev]
+type = "injected"
+
+[transforms.norm]
+type = "remap"
+inputs = ["ev"]
+source = """
+.event_type = upcase(string!(.event_type))
+.is_big = .value > 100
+if .event_type == "SIGNUP" { abort }
+.tag = .event_type + "-" + to_string(.event_id)
+"""
+
+[transforms.big]
+type = "filter"
+inputs = ["norm"]
+condition = "is_big"
+'''
+    ports = Pipeline.from_toml(toml_text, spark).compile({"ev": events_df})
+    norm = {r.event_id: r for r in ports["norm"].collect()}
+    assert set(norm) == {1, 2, 3, 5}  # signup (event 4) aborted
+    assert norm[1].event_type == "ERROR" and norm[1].tag == "ERROR-1"
+    assert ports["norm.dropped"].count() == 1
+    assert ports["norm.dropped"].collect()[0].metadata_dropped.reason == "abort"
+    assert sorted(r.event_id for r in ports["big"].collect()) == [1, 5]

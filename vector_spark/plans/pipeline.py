@@ -137,15 +137,29 @@ class Pipeline:
         if kind == "filter":
             ports[name] = filter_events(df, _cond(t["condition"], df))
         elif kind == "remap":
-            ok, dropped = remap(
-                df,
-                _exprs(t.get("exprs", {})),
-                error_when=_cond(t["error_when"]) if "error_when" in t else None,
-                error_message=t.get("error_message"),
-                drop_on_error=t.get("drop_on_error", True),
-                reroute_dropped=t.get("reroute_dropped", True),
-                component_id=name,
-            )
+            if "source" in t:
+                # vector.yaml's native authoring surface: remap with VRL
+                # SOURCE text (transforms/remap.rs `source` option),
+                # compiled to Columns by functions/vrl_codegen.py
+                from vector_spark.operators.remap import remap_source
+
+                ok, dropped = remap_source(
+                    df,
+                    t["source"],
+                    drop_on_abort=t.get("drop_on_abort", True),
+                    reroute_dropped=t.get("reroute_dropped", True),
+                    component_id=name,
+                )
+            else:
+                ok, dropped = remap(
+                    df,
+                    _exprs(t.get("exprs", {})),
+                    error_when=_cond(t["error_when"]) if "error_when" in t else None,
+                    error_message=t.get("error_message"),
+                    drop_on_error=t.get("drop_on_error", True),
+                    reroute_dropped=t.get("reroute_dropped", True),
+                    component_id=name,
+                )
             ports[name] = ok
             ports[f"{name}.dropped"] = dropped
         elif kind == "route":
