@@ -255,3 +255,28 @@ def test_vrl_parse_json_proxy_pushes_to_get_json_object(spark):
     assert out.collect()[0].name == "ada"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "get_json_object" in plan and "EvalPython" not in plan
+
+
+def test_vrl_typed_parse_json_event_replacement(spark):
+    """The dominant vector-config idiom `. = parse_json!(.message)`:
+    with a caller-provided schema (the static-typing analogue of VRL's
+    dynamic parse), parse_json returns a typed struct guarded by
+    try_parse_json (malformed -> NULL = error), the ok/err assignment
+    captures the failure, and `.` replacement swaps the event."""
+    df = spark.createDataFrame(
+        [("h1", '{"level":"INFO","msg":"ok","attempt":2}'),
+         ("h2", "not json at all")],
+        "host string, message string",
+    )
+    src = '''
+    structured, err = parse_json(.message)
+    if err != null { abort }
+    . = structured
+    .level = downcase(string!(.level))
+    '''
+    out = remap_vrl(
+        df, src,
+        json_schemas={".message": "level string, msg string, attempt bigint"},
+    )
+    rows = [r.asDict() for r in out.collect()]
+    assert rows == [{"level": "info", "msg": "ok", "attempt": 2}]

@@ -319,8 +319,15 @@ def _fallible_fn(name: str) -> bool:
 
 
 class _Compiler:
-    def __init__(self, schema: T.StructType):
+    def __init__(self, schema: T.StructType, json_schemas=None):
         self.env = Env(schema)
+        # path-string -> DataType: gives parse_json on a known event
+        # path a TYPED result (from_json) instead of the lazy
+        # get_json_object proxy, enabling `. = parse_json!(.message)`
+        self.json_schemas = {
+            k: (T._parse_datatype_string(v) if isinstance(v, str) else v)
+            for k, v in (json_schemas or {}).items()
+        }
 
     # -- abort guards ------------------------------------------------------
     def _guard(self, new: Column, old: Column) -> Column:
@@ -1049,7 +1056,19 @@ class _Compiler:
             )
             return _lit(bool(res), T.BooleanType())
         if name == "parse_json":
-            v = self.expr(node.args[0][1])
+            arg_node = node.args[0][1]
+            v = self.expr(arg_node)
+            typed = self._json_schema_for(arg_node)
+            if typed is not None:
+                c = _resolve(v)
+                # guard with try_parse_json: malformed input must yield
+                # NULL (= VRL error), not a struct of nulls
+                col = F.when(
+                    F.try_parse_json(c).isNotNull(), F.from_json(c, typed)
+                )
+                return self._bangify(
+                    node, Val(col, typed, fallible=True), v
+                )
             out = Val(F.lit(None), None, fallible=True,
                       json=(_resolve(v), "$"))
             return self._bangify(node, out, v)
@@ -1172,6 +1191,17 @@ class _Compiler:
             # filter/map_keys change the static field set per-row
             raise VrlUnsupported(f"{name} closure on object (static schema)")
         raise VrlUnsupported(f"{name} closure on {_vrl_type_name(t)}")
+
+    def _json_schema_for(self, arg_node):
+        """Look up a caller-provided schema for parse_json(<event path>)."""
+        if not self.json_schemas:
+            return None
+        if isinstance(arg_node, Query) and arg_node.target[0] == "event":
+            key = "." + ".".join(
+                seg[1] for seg in arg_node.path if seg[0] == "field"
+            )
+            return self.json_schemas.get(key)
+        return None
 
     def _bangify(self, node: FnCall, out: Val, first_arg: Val | None) -> Val:
         if not node.bang:
@@ -1417,10 +1447,16 @@ def compile_vrl(
     source: str,
     schema: T.StructType | None = None,
     split_array_result: bool = False,
+    json_schemas: dict | None = None,
 ) -> CompiledVrl:
-    """Compile VRL source against a DataFrame schema."""
+    """Compile VRL source against a DataFrame schema.
+
+    json_schemas: optional {".path": "ddl or DataType"} giving
+    parse_json on that event path a typed result — the static-schema
+    analogue of VRL's dynamic parse (enables `. = parse_json!(.msg)`).
+    """
     prog = parse_vrl(source)
-    comp = _Compiler(schema or T.StructType([]))
+    comp = _Compiler(schema or T.StructType([]), json_schemas=json_schemas)
     if split_array_result and prog.stmts and isinstance(prog.stmts[-1], Arr):
         comp.run(Program(prog.stmts[:-1]))
         items = [comp.expr(e) for e in prog.stmts[-1].items]
@@ -1470,11 +1506,14 @@ def eval_vrl(spark, source: str, obj: dict | None = None):
     return result, row, aborted
 
 
-def remap_vrl(df, source: str, drop_aborted: bool = True):
+def remap_vrl(df, source: str, drop_aborted: bool = True,
+              json_schemas: dict | None = None):
     """vector's remap-with-VRL-source transform, compiled to Columns.
 
     Reference: src/transforms/remap.rs (VRL program over each event);
     here the program compiles once against df.schema and runs as native
     expressions inside whole-stage codegen.
     """
-    return compile_vrl(source, df.schema).apply(df, drop_aborted=drop_aborted)
+    return compile_vrl(source, df.schema, json_schemas=json_schemas).apply(
+        df, drop_aborted=drop_aborted
+    )

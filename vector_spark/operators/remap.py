@@ -85,6 +85,7 @@ def remap_source(
     drop_on_abort: bool = True,
     reroute_dropped: bool = True,
     component_id: str = "remap",
+    json_schemas: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """remap configured with VRL *source* (remap.rs `source` option):
     the program compiles once against df.schema to native Columns
@@ -97,7 +98,7 @@ def remap_source(
     """
     from vector_spark.functions.vrl_codegen import compile_vrl
 
-    compiled = compile_vrl(source, df.schema)
+    compiled = compile_vrl(source, df.schema, json_schemas=json_schemas)
     out = compiled.apply(df, drop_aborted=False)
     if "_aborted" not in out.columns:
         # program has no abort path: dropped port is statically empty

@@ -149,6 +149,7 @@ class Pipeline:
                     drop_on_abort=t.get("drop_on_abort", True),
                     reroute_dropped=t.get("reroute_dropped", True),
                     component_id=name,
+                    json_schemas=t.get("json_schemas"),
                 )
             else:
                 ok, dropped = remap(
