@@ -217,6 +217,63 @@ def test_vrl_closures(spark):
                  {"n": [1]})
 
 
+def test_vrl_for_each(spark):
+    """for_each: the one VRL closure whose POINT is outer mutation.
+
+    Objects unroll statically against the live env (params shadow and
+    are discarded after the loop, other assigned outer variables
+    persist — closure_scope_inheritance.vrl); arrays and maps fold the
+    assigned-variable set through a packed-struct F.aggregate, so the
+    accumulation is a single JVM fold, not N re-evaluations.
+    """
+    # reference corpus semantics (closure_scope_inheritance.vrl)
+    src = '''
+    key = "yay"
+    zoog = "yay"
+    for_each({ "foo": "bar" }) -> |key, value| {
+      key = "boo"
+      zoog = "boo"
+    }
+    .out = [key, zoog]
+    .
+    '''
+    got, _, _ = eval_vrl(spark, src, {"x": 1})
+    assert got["out"] == ["yay", "boo"]
+
+    # array fold: index + value both accumulate
+    src = '''
+    total = 0
+    idxsum = 0
+    for_each(.nums) -> |i, v| { total = total + v
+    idxsum = idxsum + i }
+    .total = total
+    .idxsum = idxsum
+    .
+    '''
+    got, _, _ = eval_vrl(spark, src, {"nums": [10, 20, 30]})
+    assert (got["total"], got["idxsum"]) == (60, 3)
+
+    # map fold: key and value delivered through map_entries
+    src = '''
+    keys = ""
+    sum = 0
+    for_each(.m) -> |k, v| { keys = keys + k
+    sum = sum + v }
+    .keys = keys
+    .sum = sum
+    .
+    '''
+    got, _, _ = eval_vrl(spark, src, {"m": {"a": 1, "b": 2}})
+    assert (got["keys"], got["sum"]) == ("ab", 3)
+
+    # the fold must stay JVM-side: no Python eval nodes
+    df = spark.createDataFrame([([1, 2, 3],)], "nums array<bigint>")
+    out = remap_vrl(df, 's = 0\nfor_each(.nums) -> |_i, v| { s = s + v }\n.s = s')
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert out.collect()[0].s == 6
+
+
 def test_remap_source_two_ports(spark):
     """operators/remap.py remap_source: VRL-source program with the
     expression-form's (ok, dropped) port contract and annotation."""

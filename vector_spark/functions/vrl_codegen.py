@@ -1088,6 +1088,8 @@ class _Compiler:
         rejected at compile time.
         """
         name = node.name
+        if name == "for_each":
+            return self._for_each(node)
         if name not in ("filter", "map_values", "map_keys"):
             raise VrlUnsupported(f"closure argument to {name}")
         for arg_name, e in node.args[1:]:
@@ -1191,6 +1193,98 @@ class _Compiler:
             # filter/map_keys change the static field set per-row
             raise VrlUnsupported(f"{name} closure on object (static schema)")
         raise VrlUnsupported(f"{name} closure on {_vrl_type_name(t)}")
+
+    def _for_each(self, node: FnCall) -> Val:
+        """for_each with outer-variable accumulation.
+
+        VRL's for_each closure mutates enclosing variables
+        (closure_scope_inheritance.vrl: closure PARAMS shadow outer
+        variables and are discarded; other assigned outer variables
+        persist). Two compilation strategies:
+
+        - static objects: loop unrolling — the body executes once per
+          field against the live env, params temporarily shadowing;
+        - arrays/maps: the set of assigned outer variables becomes a
+          packed accumulator struct folded with F.aggregate (a real
+          JVM fold; the index/key is delivered through a
+          struct-entries transform).
+        """
+        target = self.expr(node.args[0][1])
+        params, body = node.closure
+        t = target.vtype
+
+        def p(i):
+            return params[i] if i < len(params) else "_"
+
+        def run_inline(kv0: Val, kv1: Val) -> None:
+            saved = {}
+            for pname, bound in ((p(0), kv0), (p(1), kv1)):
+                if pname and pname != "_":
+                    saved[pname] = self.env.vars.get(pname, MISSING)
+                    self.env.vars[pname] = bound
+            try:
+                self.expr(body)
+            finally:
+                for pname, old in saved.items():
+                    if old is MISSING:
+                        self.env.vars.pop(pname, None)
+                    else:
+                        self.env.vars[pname] = old
+
+        if isinstance(t, T.StructType):
+            for f in t.fields:
+                run_inline(
+                    Val(F.lit(f.name), T.StringType(), pylit=f.name),
+                    Val(target.col.getField(f.name), f.dataType),
+                )
+            return _NULL()
+        if isinstance(t, (T.ArrayType, T.MapType)):
+            assigned = _assigned_var_names(body)
+            base = self.env
+            acc_names = sorted(
+                n for n in assigned
+                if n in base.vars and n not in (p(0), p(1))
+            )
+            if isinstance(t, T.ArrayType):
+                entries = F.transform(
+                    target.col,
+                    lambda v, i: F.struct(i.alias("k"), v.alias("v")),
+                )
+                kt, vt = T.IntegerType(), t.elementType
+            else:
+                entries = F.map_entries(target.col)
+                kt, vt = t.keyType, t.valueType
+            if not acc_names:
+                return _NULL()  # body has no observable effect
+            acc_types = {n: base.vars[n].vtype for n in acc_names}
+            init = F.struct(*[
+                _resolve(base.vars[n]).alias(n) for n in acc_names
+            ])
+
+            def merge(acc, entry):
+                env3 = base.clone()
+                self.env = env3
+                try:
+                    for n in acc_names:
+                        env3.vars[n] = Val(acc.getField(n), acc_types[n])
+                    for pname, bound in (
+                        (p(0), Val(entry.getField("k" if isinstance(t, T.ArrayType) else "key"), kt)),
+                        (p(1), Val(entry.getField("v" if isinstance(t, T.ArrayType) else "value"), vt)),
+                    ):
+                        if pname and pname != "_":
+                            env3.vars[pname] = bound
+                    self.expr(body)
+                    return F.struct(*[
+                        _cast_to(env3.vars[n], acc_types[n]).alias(n)
+                        for n in acc_names
+                    ])
+                finally:
+                    self.env = base
+            res = F.aggregate(entries, init, merge)
+            for n in acc_names:
+                base.vars[n] = Val(res.getField(n), acc_types[n])
+            return _NULL()
+        raise VrlUnsupported(f"for_each on {_vrl_type_name(t)}")
 
     def _json_schema_for(self, arg_node):
         """Look up a caller-provided schema for parse_json(<event path>)."""
@@ -1372,6 +1466,28 @@ class _Compiler:
             fall = False
         out_v = Val(out, vtype, fallible=fall)
         return self._bangify(node, out_v, v)
+
+
+def _assigned_var_names(body) -> set:
+    """Variable names assigned anywhere in a closure body AST."""
+    import dataclasses
+
+    out: set = set()
+
+    def walk(n):
+        if isinstance(n, Assign):
+            for tgt in n.targets:
+                if tgt[0] == "var":
+                    out.add(tgt[1])
+        if dataclasses.is_dataclass(n):
+            for f in dataclasses.fields(n):
+                walk(getattr(n, f.name))
+        elif isinstance(n, (list, tuple)):
+            for x in n:
+                walk(x)
+
+    walk(body)
+    return out
 
 
 def _unify_or_none(a, b):

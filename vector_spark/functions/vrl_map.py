@@ -176,7 +176,7 @@ VRL: dict[str, VrlFn] = {
     "map_values": VrlFn("native", "F.transform_values (VRL's 1-arg |value| closure)", lambda m, f: F.transform_values(m, lambda k, v: f(v))),
     "merge": VrlFn("native", "F.map_concat (deep=false shallow merge)", lambda a, b: F.map_concat(F.map_filter(a, lambda k, v: ~F.map_contains_key(b, k)), b)),
     "filter": VrlFn("native", "F.filter (higher-order)", lambda c, f: F.filter(c, f)),
-    "for_each": VrlFn("native", "F.transform / F.aggregate (bounded iteration; the value-returning analogue of the side-effect closure)", lambda c, f: F.transform(c, f)),
+    "for_each": VrlFn("native", "F.transform / F.aggregate (Column-level analogue; the VRL-source compiler supports the real side-effect closure via a packed-accumulator F.aggregate fold — vrl_codegen._for_each)", lambda c, f: F.transform(c, f)),
     "map": VrlFn("native", "F.transform", lambda c, f: F.transform(c, f)),
     "unique": VrlFn("native", "F.array_distinct", F.array_distinct),
     "unnest": VrlFn("native", "F.explode (1->N rows)", F.explode),
