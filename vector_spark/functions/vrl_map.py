@@ -54,6 +54,75 @@ def _grok(col, pattern):
     return grok_extract_pandas(col, pattern)
 
 
+_STRP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "I": "hh", "l": "h", "M": "mm", "S": "ss",
+    "p": "a", "P": "a", "b": "MMM", "h": "MMM", "B": "MMMM",
+    "a": "EEE", "A": "EEEE", "j": "DDD",
+    "z": "xx", "Z": "zzz", "T": "HH:mm:ss", "R": "HH:mm",
+    "D": "MM/dd/yy", "F": "yyyy-MM-dd", "%": "'%'", "t": "\t", "n": "\n",
+}
+
+
+def _strptime_java(fmt: str) -> str:
+    """chrono strftime (VRL's parse_timestamp dialect) -> Java
+    DateTimeFormatter pattern. Literal letters are single-quoted so
+    'T'/'Z' separators survive; %.3f/%3f fraction forms map to S runs."""
+    out, lit = [], []
+
+    def flush():
+        if lit:
+            s = "".join(lit)
+            if any(c.isalpha() for c in s):
+                out.append("'" + s.replace("'", "''") + "'")
+            else:
+                out.append(s)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] != "%":
+            lit.append(fmt[i])
+            i += 1
+            continue
+        rest = fmt[i + 1:]
+        flush()
+        if rest[:1] == ":" and rest[1:2] == "z":
+            out.append("xxx")
+            i += 3
+        elif rest[:1] == "." and rest[1:2] in "369" and rest[2:3] == "f":
+            out.append("." + "S" * int(rest[1]))
+            i += 4
+        elif rest[:1] in "369" and rest[1:2] == "f":
+            out.append("S" * int(rest[0]))
+            i += 3
+        elif rest[:1] == "f":
+            out.append("SSSSSSSSS")
+            i += 2
+        elif rest[:1] in _STRP:
+            out.append(_STRP[rest[0]])
+            i += 2
+        else:
+            lit.append(fmt[i])  # unknown spec: keep verbatim
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _ts_fmt(f):
+    # VRL programs use chrono strftime; the Java dialect (golden tests,
+    # direct Column use) has no '%' and passes through untouched
+    return _strptime_java(f) if isinstance(f, str) and "%" in f else f
+
+
+def _encode_json_any(s):
+    """encode_json over ANY input type: wrap in a 1-element array so
+    to_json accepts scalars (strings get proper JSON quoting/escaping),
+    then strip the enclosing brackets."""
+    j = F.to_json(F.array(s))
+    return j.substr(F.lit(2), F.length(j) - F.lit(2))
+
+
 VRL: dict[str, VrlFn] = {
     # --- parsing ---------------------------------------------------------
     "parse_grok": VrlFn("udf", "grok.grok_extract_pandas (compiled regex, Arrow)", _grok),
@@ -66,7 +135,7 @@ VRL: dict[str, VrlFn] = {
     "parse_csv": VrlFn("native", "F.from_csv(options={'escape': '\"'})", lambda c, s, o=None: F.from_csv(c, s, o or {"escape": '"'})),
     "parse_key_value": VrlFn("compose", "parse.parse_key_value -> map", parse_key_value),
     "parse_logfmt": VrlFn("compose", "presets.parse_logfmt", parse_logfmt),
-    "parse_timestamp": VrlFn("native", "F.to_timestamp(fmt)", lambda c, f: F.to_timestamp(c, f)),
+    "parse_timestamp": VrlFn("native", "F.to_timestamp(fmt); strptime formats auto-converted", lambda c, f: F.to_timestamp(c, _ts_fmt(f))),
     "parse_duration": VrlFn("compose", "vrl_compat.parse_duration", V.parse_duration),
     "parse_int": VrlFn("compose", "vrl_compat.parse_int (F.conv)", V.parse_int),
     "parse_url": VrlFn("compose", "vrl_compat.parse_url (F.parse_url)", V.parse_url),
@@ -102,7 +171,7 @@ VRL: dict[str, VrlFn] = {
     "strip_ansi_escape_codes": VrlFn("compose", "vrl_compat.strip_ansi_escape_codes", V.strip_ansi_escape_codes),
     "truncate": VrlFn("compose", "vrl_compat.truncate", V.truncate),
     "find": VrlFn("compose", "vrl_compat.find (0-based, -1 miss)", V.find),
-    "match": VrlFn("native", "Column.rlike", lambda c, r: c.rlike(r)),
+    "match": VrlFn("native", "Column.rlike / F.regexp_like (dynamic pattern)", lambda c, r: c.rlike(r) if isinstance(r, str) else F.regexp_like(c, r)),
     "match_any": VrlFn("compose", "OR of rlikes", lambda c, rs: __import__("functools").reduce(lambda a, b: a | b, [c.rlike(r) for r in rs])),
     "match_array": VrlFn("compose", "F.exists(arr, x -> x.rlike(r))", lambda c, r: F.exists(c, lambda x: x.rlike(r))),
     "match_datadog_query": VrlFn("compose", "conditions.datadog_search.dd_query(query, df) — full query->Column compiler (takes the DataFrame for schema resolution, not a single column)", lambda q, df=None: __import__("vector_spark.conditions", fromlist=["dd_query"]).dd_query(q, df)),
@@ -112,7 +181,7 @@ VRL: dict[str, VrlFn] = {
     # --- codecs / crypto -------------------------------------------------
     "encode_base64": VrlFn("compose", "vrl_compat.encode_base64", V.encode_base64),
     "decode_base64": VrlFn("compose", "vrl_compat.decode_base64", V.decode_base64),
-    "encode_json": VrlFn("native", "F.to_json(struct/map)", lambda s: F.to_json(s)),
+    "encode_json": VrlFn("native", "F.to_json via 1-array wrap (works for scalars too: [x] -> strip brackets)", lambda s: _encode_json_any(s)),
     "encode_key_value": VrlFn("compose", "codecs.encode_kv_map", lambda m: __import__("vector_spark.sources.codecs", fromlist=["encode_kv_map"]).encode_kv_map(m)),
     "encode_logfmt": VrlFn("compose", "codecs.encode_kv_map (sorted k=v; logfmt form)", lambda m: __import__("vector_spark.sources.codecs", fromlist=["encode_kv_map"]).encode_kv_map(m)),
     "encode_percent": VrlFn("compose", "vrl_compat.encode_percent (F.url_encode)", V.encode_percent),
@@ -190,7 +259,7 @@ VRL: dict[str, VrlFn] = {
     "exists": VrlFn("path", "schema check + isNotNull (struct-field form)", lambda c, field: c[field].isNotNull()),
     # --- time / env / misc ------------------------------------------------
     "now": VrlFn("native", "F.current_timestamp", F.current_timestamp),
-    "format_timestamp": VrlFn("native", "F.date_format", F.date_format),
+    "format_timestamp": VrlFn("native", "F.date_format; strptime formats auto-converted", lambda c, f: F.date_format(c, _ts_fmt(f))),
     "uuid_v4": VrlFn("native", "F.uuid (per-row, nondeterministic)", lambda: F.uuid()),
     "get_env_var": VrlFn("driver", "F.lit(os.environ[...]) at plan build (like the reference: resolved at runtime on the host)", lambda name, default=None: F.lit(__import__("os").environ.get(name, default))),
     "get_hostname": VrlFn("driver", "F.lit(socket.gethostname()) at plan build", lambda: F.lit(__import__("socket").gethostname())),
