@@ -273,6 +273,20 @@ def test_vrl_for_each(spark):
     assert "EvalPython" not in plan
     assert out.collect()[0].s == 6
 
+    # a bang failure on ANY element aborts the EVENT (reference remap
+    # drop-on-abort semantics) — the abort state threads through the
+    # fold's hidden accumulator slot instead of being dropped
+    df = spark.createDataFrame(
+        [("a", "2,3"), ("b", "2,x")], "id string, n string"
+    )
+    out = remap_vrl(df, '''
+    vals = split!(.n, ",")
+    s = 0
+    for_each(vals) -> |_i, v| { s = s + to_int!(v) }
+    .s = s
+    ''')
+    assert {r.id: r.s for r in out.collect()} == {"a": 5}
+
 
 RFC_CORPUS = "/root/reference/lib/vrl/tests/tests/rfcs/8381"
 

@@ -1074,9 +1074,12 @@ class _Compiler:
             ev = env_e.vars.get(name, base.vars.get(name, _NULL()))
             base.vars[name] = merged(tv, ev)
         if env_t.abort is not None or env_e.abort is not None:
-            ta = env_t.abort if env_t.abort is not None else F.lit(False)
-            ea = env_e.abort if env_e.abort is not None else F.lit(False)
-            base.abort = F.when(predc, ta).otherwise(ea)
+            if env_t.abort is env_e.abort:
+                base.abort = env_t.abort  # neither branch touched it
+            else:
+                ta = env_t.abort if env_t.abort is not None else F.lit(False)
+                ea = env_e.abort if env_e.abort is not None else F.lit(False)
+                base.abort = F.when(predc, ta).otherwise(ea)
 
     # -- function calls ----------------------------------------------------
     def _call(self, node: FnCall) -> Val:
@@ -1438,15 +1441,23 @@ class _Compiler:
             else:
                 entries = F.map_entries(target.col)
                 kt, vt = t.keyType, t.valueType
-            if not acc_names:
-                return _NULL()  # body has no observable effect
             acc_types = {n: base.vars[n].vtype for n in acc_names}
-            init = F.struct(*[
-                _resolve(base.vars[n]).alias(n) for n in acc_names
-            ])
+            # hidden accumulator slot: the runtime abort state threads
+            # through the fold, so a per-element `f!()` abort
+            # (find_match_against_list_of_regular_expressions.vrl uses
+            # match!) propagates out instead of being dropped
+            init_ab = (F.coalesce(base.abort, F.lit(False))
+                       if base.abort is not None else F.lit(False))
+            init = F.struct(*(
+                [_resolve(base.vars[n]).alias(n) for n in acc_names]
+                + [init_ab.alias("__ab")]
+            ))
+            ab_hit = {}
 
             def merge(acc, entry):
                 env3 = base.clone()
+                seeded = acc.getField("__ab")
+                env3.abort = seeded
                 self.env = env3
                 try:
                     for n in acc_names:
@@ -1458,15 +1469,29 @@ class _Compiler:
                         if pname and pname != "_":
                             env3.vars[pname] = bound
                     self.expr(body)
-                    return F.struct(*[
-                        _cast_to(env3.vars[n], acc_types[n]).alias(n)
-                        for n in acc_names
-                    ])
+                    if (set(env3.fields) != set(base.fields)
+                            or any(env3.fields[k] is not base.fields.get(k)
+                                   for k in env3.fields)
+                            or env3.dropped != base.dropped):
+                        # per-element event writes cannot ride the
+                        # accumulator struct — refuse, don't drop them
+                        raise VrlUnsupported(
+                            "for_each closure mutating event state")
+                    ab_hit["y"] = env3.abort is not seeded
+                    return F.struct(*(
+                        [_cast_to(env3.vars[n], acc_types[n]).alias(n)
+                         for n in acc_names]
+                        + [F.coalesce(env3.abort, F.lit(False)).alias("__ab")]
+                    ))
                 finally:
                     self.env = base
+            if not acc_names and not _may_abort(body):
+                return _NULL()  # body has no observable effect
             res = F.aggregate(entries, init, merge)
             for n in acc_names:
                 base.vars[n] = Val(res.getField(n), acc_types[n])
+            if ab_hit.get("y"):
+                base.abort = res.getField("__ab")
             return _NULL()
         raise VrlUnsupported(f"for_each on {_vrl_type_name(t)}")
 
@@ -1732,6 +1757,29 @@ def _assigned_var_names(body) -> set:
     out: set = set()
     _walk_assigns(body, lambda t: out.add(t[1]) if t[0] == "var" else None)
     return out
+
+
+def _may_abort(body) -> bool:
+    """True if the closure body contains an abort or any `f!()` call."""
+    import dataclasses
+
+    hit = []
+
+    def walk(n):
+        if isinstance(n, Abort) or (
+            isinstance(n, FnCall) and getattr(n, "bang", False)
+        ):
+            hit.append(1)
+            return
+        if dataclasses.is_dataclass(n):
+            for f in dataclasses.fields(n):
+                walk(getattr(n, f.name))
+        elif isinstance(n, (list, tuple)):
+            for x in n:
+                walk(x)
+
+    walk(body)
+    return bool(hit)
 
 
 def _assigns_event(body) -> bool:

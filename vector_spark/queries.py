@@ -3430,6 +3430,20 @@ if .role == "system" { abort }
 .ts_epoch = to_unix_timestamp!(.ts)
 .level = parse_json(.text).level ?? "none"
 .attempt = parse_json(.text).attempt ?? "-1"
+
+# iteration idioms (rfcs/8381): for_each compiles to a packed-
+# accumulator F.aggregate fold — a single JVM expression per row
+words = split!(.text, " ")
+wl = 0
+for_each(words) -> |_i, w| { wl = wl + length(w) }
+.sum_word_len = wl
+
+pats = [r'error', r'warn']
+sev = false
+for_each(pats) -> |_i, p| {
+  if !sev && (match(.text, p) ?? false) { sev = true }
+}
+.flagged = sev
 '''
 
 
@@ -3439,10 +3453,13 @@ def q_op_remap_vrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     once against the transcripts schema into pure Catalyst expressions
     (whole-stage codegen, zero Python, JSON paths via get_json_object)
     and exercises type-assert + abort routing, ||-defaulting, the
-    parse_json proxy, `??` error coalescing and to_int on a dynamic
-    value. The compiler itself is golden-verified against the
+    parse_json proxy, `??` error coalescing, to_int on a dynamic
+    value, and the rfcs/8381 iteration idioms: for_each accumulation
+    over a split array (packed-struct F.aggregate fold) and the
+    regex-list match flag (dynamic-pattern regexp_like inside the
+    fold). The compiler itself is golden-verified against the
     reference's own e2e corpus (tests/test_vrl_compiler.py replays
-    lib/vrl/tests/tests/expressions/ exactly)."""
+    lib/vrl/tests/tests/expressions/ and rfcs/8381 exactly)."""
     from vector_spark.functions.vrl_codegen import remap_vrl
 
     t = transcripts(spark, sf_dir)
@@ -3455,6 +3472,8 @@ def q_op_remap_vrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         # VRL dynamic values are stringly (get_json_object space); the
         # sink schema decides the storage type, as remap configs do
         F.col("attempt").cast("bigint").alias("attempt"),
+        F.col("sum_word_len").cast("bigint").alias("sum_word_len"),
+        "flagged",
     )
 
 
@@ -3471,7 +3490,12 @@ SELECT conv_id, turn_idx,
        coalesce(CASE WHEN json_valid(text)
                      THEN try_cast(json_extract_string(text, '$.attempt')
                                    AS BIGINT) END,
-                -1) AS attempt
+                -1) AS attempt,
+       -- sum of word lengths over a single-space split == chars minus
+       -- the spaces themselves (empty tokens contribute 0)
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_word_len,
+       (regexp_matches(text, 'error') OR regexp_matches(text, 'warn'))
+           AS flagged
 FROM read_parquet('{ORACLE_TRANSCRIPTS}')
 WHERE lower(role) <> 'system'
 """
