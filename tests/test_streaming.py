@@ -461,6 +461,9 @@ def test_stream_remap_vrl_matches_batch(spark, stream_source, tmp_path):
     if .role == "system" { abort }
     .text_len = length(.text)
     .tool = .tool || "none"
+    wl = 0
+    for_each(split!(.text, " ")) -> |_i, w| { wl = wl + length(w) }
+    .sum_word_len = wl
     '''
     sdf = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_source)
     got = run_stream(spark, remap_vrl(sdf, src), tmp_path).toPandas()
