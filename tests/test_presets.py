@@ -30,15 +30,16 @@ def test_apache_common_log(spark):
         '"GET /apache_pb.gif HTTP/1.0" 200 2326',
         parse_apache_log,
     )
-    assert row.client == "127.0.0.1"
-    assert row.ident is None  # '-' normalized
-    assert row.auth == "frank"
-    assert row.ts == datetime.datetime(2000, 10, 10, 20, 55, 36)  # UTC
+    assert row.host == "127.0.0.1"
+    assert row.identity is None  # '-' normalized
+    assert row.user == "frank"
+    assert row.timestamp == datetime.datetime(2000, 10, 10, 20, 55, 36)  # UTC
+    assert row.message == "GET /apache_pb.gif HTTP/1.0"
     assert row.method == "GET"
     assert row.path == "/apache_pb.gif"
-    assert row.httpversion == "1.0"
+    assert row.protocol == "HTTP/1.0"
     assert row.status == 200
-    assert row.bytes == 2326
+    assert row.size == 2326
 
 
 def test_apache_no_match_is_null_struct(spark):
@@ -114,10 +115,50 @@ def test_nginx_combined_log(spark):
         parse_nginx_log,
     )
     assert row.client == "203.0.113.9"
-    assert row.auth is None
-    assert row.status == 404 and row.bytes == 153
-    assert row.referrer == "http://example.com/start"
+    assert row.user is None
+    assert row.request == "GET /index.html HTTP/1.1"
+    assert row.status == 404 and row.size == 153
+    assert row.referer == "http://example.com/start"
     assert row.agent == "Mozilla/5.0 (X11; Linux)"
+    assert row.compression is None  # optional third quoted field absent
+
+
+def test_nginx_combined_log_with_compression(spark):
+    from vector_spark.functions.presets import parse_nginx_log
+
+    row = _one(
+        spark,
+        '203.0.113.9 - alice [10/Oct/2000:13:55:36 -0700] '
+        '"GET /index.html HTTP/1.1" 200 153 '
+        '"-" "curl/8.0" "2.75"',
+        parse_nginx_log,
+    )
+    assert row.user == "alice"
+    assert row.referer is None  # '-' normalized
+    assert row.agent == "curl/8.0"
+    assert row.compression == "2.75"
+
+
+def test_preset_declared_types_match_actual(spark):
+    """The PARSE_*_TYPE schemas exported for the VRL compiler's _RET
+    table must equal what the parsers actually produce (names + types,
+    nullability-insensitive)."""
+    from vector_spark.functions import presets as P
+
+    cases = [
+        (P.parse_apache_log, P.PARSE_APACHE_LOG_TYPE),
+        (P.parse_nginx_log, P.PARSE_NGINX_LOG_TYPE),
+        (P.parse_syslog, P.PARSE_SYSLOG_TYPE),
+        (P.parse_glog, P.PARSE_GLOG_TYPE),
+        (P.parse_cef, P.PARSE_CEF_TYPE),
+        (P.parse_aws_vpc_flow_log, P.PARSE_AWS_VPC_FLOW_LOG_TYPE),
+        (P.parse_aws_alb_log, P.PARSE_AWS_ALB_LOG_TYPE),
+        (P.parse_logfmt, P.PARSE_LOGFMT_TYPE),
+    ]
+    df = spark.createDataFrame([("x",)], "line string")
+    for fn, declared in cases:
+        actual = df.select(fn(F.col("line")).alias("p")).schema["p"].dataType
+        assert actual.simpleString() == declared.simpleString(), fn
 
 
 def test_glog_and_klog(spark):

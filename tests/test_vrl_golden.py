@@ -582,7 +582,12 @@ CASES = [
         lambda: _fn("parse_common_log")(L(_CLF_LINE))["status"],
         200,
     ),
-    ("parse_common_log_bytes", lambda: _fn("parse_common_log")(L(_CLF_LINE))["bytes"], 2326),
+    ("parse_common_log_size", lambda: _fn("parse_common_log")(L(_CLF_LINE))["size"], 2326),
+    (
+        "parse_common_log_message",
+        lambda: _fn("parse_common_log")(L(_CLF_LINE))["message"],
+        "GET /apache_pb.gif HTTP/1.0",
+    ),
     # parse_apache_log.rs (common format variant)
     ("parse_apache_log_method", lambda: _fn("parse_apache_log")(L(_CLF_LINE))["method"], "GET"),
     # parse_nginx_log.rs (combined format)

@@ -13,20 +13,25 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from vector_spark.functions.grok import grok_extract_native
 from vector_spark.functions.parse import parse_key_value
 
-# status/bytes are NOTSPACE, not INT: real CLF emits '-' for bytes on
-# 204/304 responses (and some servers for status), and the reference's
-# REGEX_APACHE_COMMON_LOG (src/sources/util/http/log_util.rs:29-30)
-# accepts '-' per field and leaves that field null rather than failing
-# the whole line. try_cast below turns '-' into NULL, matching that
-# field-level leniency.
+# Field names follow the reference's REGEX_APACHE_COMMON_LOG group
+# names verbatim (lib/vrl/stdlib/src/log_util.rs:18-30): host /
+# identity / user / timestamp / message / method / path / protocol /
+# status / size — so a VRL program written against the reference
+# (`parse_common_log!(.line).size`) compiles unchanged here.
+# status/size are NOTSPACE, not INT: real CLF emits '-' for size on
+# 204/304 responses (and some servers for status), and the reference
+# regex accepts '-' per field and leaves that field null rather than
+# failing the whole line. try_cast below turns '-' into NULL, matching
+# that field-level leniency.
 APACHE_COMMON_GROK = (
-    '%{IP:client} %{NOTSPACE:ident} %{NOTSPACE:auth} '
-    '[%{HTTPDATE:tstxt}] "%{WORD:method} %{NOTSPACE:path} '
-    'HTTP/%{NUMBER:httpversion}" %{NOTSPACE:status} %{NOTSPACE:bytes}'
+    '%{NOTSPACE:host} %{NOTSPACE:identity} %{NOTSPACE:user} '
+    '[%{HTTPDATE:timestamp}] "%{WORD:method} %{NOTSPACE:path} '
+    '%{NOTSPACE:protocol}" %{NOTSPACE:status} %{NOTSPACE:size}'
 )
 
 SYSLOG_3164_GROK = (
@@ -35,52 +40,117 @@ SYSLOG_3164_GROK = (
 )
 
 
+# Declared output schemas — the VRL compiler's _RET table imports
+# these so `. = parse_common_log!(.line)` can expand the event to the
+# struct's fields statically. test_presets asserts each declared type
+# equals the schema Spark actually produces, so they cannot drift.
+PARSE_APACHE_LOG_TYPE = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("identity", T.StringType()),
+    T.StructField("user", T.StringType()),
+    T.StructField("timestamp", T.TimestampType()),
+    T.StructField("message", T.StringType()),
+    T.StructField("method", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("protocol", T.StringType()),
+    T.StructField("status", T.LongType()),
+    T.StructField("size", T.LongType()),
+])
+
+
 def parse_apache_log(col: Column) -> Column:
-    """Apache/nginx Common Log Format line -> struct(client, ident,
-    auth, ts:timestamp, method, path, httpversion, status:int,
-    bytes:long). (parse_apache_log.rs 'common' format.)"""
+    """Apache Common Log Format line -> struct(host, identity, user,
+    timestamp:timestamp, message, method, path, protocol, status:long,
+    size:long) — the exact field set and names of the reference
+    (parse_common_log.rs:106-118 / parse_apache_log.rs:147-158,
+    'common' format; VRL integers are i64, hence long). `message` is
+    the full request text 'method SP path SP protocol' exactly as the
+    reference's nested message group captures it (log_util.rs:23-27)."""
     g = grok_extract_native(col, APACHE_COMMON_GROK)
     return F.struct(
-        g["client"].alias("client"),
-        F.nullif(g["ident"], F.lit("-")).alias("ident"),
-        F.nullif(g["auth"], F.lit("-")).alias("auth"),
-        F.to_timestamp(g["tstxt"], "dd/MMM/yyyy:HH:mm:ss Z").alias("ts"),
+        F.nullif(g["host"], F.lit("-")).alias("host"),
+        F.nullif(g["identity"], F.lit("-")).alias("identity"),
+        F.nullif(g["user"], F.lit("-")).alias("user"),
+        F.to_timestamp(g["timestamp"], "dd/MMM/yyyy:HH:mm:ss Z").alias("timestamp"),
+        F.concat(g["method"], F.lit(" "), g["path"], F.lit(" "),
+                 g["protocol"]).alias("message"),
         g["method"].alias("method"),
         g["path"].alias("path"),
-        g["httpversion"].alias("httpversion"),
-        g["status"].try_cast("int").alias("status"),
-        g["bytes"].try_cast("bigint").alias("bytes"),
+        g["protocol"].alias("protocol"),
+        g["status"].try_cast("bigint").alias("status"),
+        g["size"].try_cast("bigint").alias("size"),
     )
 
 
 # VRL exposes common-log parsing both standalone and as the apache
 # 'common' format; keep both names.
 parse_common_log = parse_apache_log
+PARSE_COMMON_LOG_TYPE = PARSE_APACHE_LOG_TYPE
 
 
+# nginx 'combined' (log_util.rs:110-131): identity is ALWAYS a literal
+# dash in nginx's combined format, and a third quoted field (gzip
+# ratio, $gzip_ratio) may follow agent. regex semantics
+# (literal_text=False) carry the optional group through.
 NGINX_COMBINED_GROK = (
-    APACHE_COMMON_GROK + ' "%{DATA:referrer}" "%{DATA:agent}"'
+    r'%{NOTSPACE:client} - %{NOTSPACE:user} \[%{HTTPDATE:timestamp}\] '
+    r'"%{WORD:method} %{NOTSPACE:path} %{NOTSPACE:protocol}" '
+    r'%{INT:status} %{INT:size} "%{DATA:referer}" "%{DATA:agent}"'
+    r'( "%{DATA:compression}")?'
 )
+
+PARSE_NGINX_LOG_TYPE = T.StructType([
+    T.StructField("client", T.StringType()),
+    T.StructField("user", T.StringType()),
+    T.StructField("timestamp", T.TimestampType()),
+    T.StructField("request", T.StringType()),
+    T.StructField("method", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("protocol", T.StringType()),
+    T.StructField("status", T.LongType()),
+    T.StructField("size", T.LongType()),
+    T.StructField("referer", T.StringType()),
+    T.StructField("agent", T.StringType()),
+    T.StructField("compression", T.StringType()),
+])
 
 
 def parse_nginx_log(col: Column) -> Column:
-    """nginx 'combined' access-log line (CLF + quoted referrer and
-    user-agent) -> the apache struct plus referrer/agent; '-' fields
-    normalized to NULL. (parse_nginx_log.rs 'combined' format.)"""
-    g = grok_extract_native(col, NGINX_COMBINED_GROK)
+    """nginx 'combined' access-log line -> struct(client, user,
+    timestamp:timestamp, request, method, path, protocol, status:long,
+    size:long, referer, agent, compression) — the reference's field
+    set and names (parse_nginx_log.rs:156-169, note 'referer' single-r
+    as in the nginx variable); '-' fields normalized to NULL.
+    `request` is the full quoted request text (log_util.rs:119-123)."""
+    g = grok_extract_native(col, NGINX_COMBINED_GROK, literal_text=False)
     return F.struct(
-        g["client"].alias("client"),
-        F.nullif(g["ident"], F.lit("-")).alias("ident"),
-        F.nullif(g["auth"], F.lit("-")).alias("auth"),
-        F.to_timestamp(g["tstxt"], "dd/MMM/yyyy:HH:mm:ss Z").alias("ts"),
+        F.nullif(g["client"], F.lit("-")).alias("client"),
+        F.nullif(g["user"], F.lit("-")).alias("user"),
+        F.to_timestamp(g["timestamp"], "dd/MMM/yyyy:HH:mm:ss Z").alias("timestamp"),
+        F.concat(g["method"], F.lit(" "), g["path"], F.lit(" "),
+                 g["protocol"]).alias("request"),
         g["method"].alias("method"),
         g["path"].alias("path"),
-        g["httpversion"].alias("httpversion"),
-        g["status"].try_cast("int").alias("status"),
-        g["bytes"].try_cast("bigint").alias("bytes"),
-        F.nullif(g["referrer"], F.lit("-")).alias("referrer"),
+        g["protocol"].alias("protocol"),
+        g["status"].try_cast("bigint").alias("status"),
+        g["size"].try_cast("bigint").alias("size"),
+        F.nullif(g["referer"], F.lit("-")).alias("referer"),
         F.nullif(g["agent"], F.lit("-")).alias("agent"),
+        F.nullif(F.nullif(g["compression"], F.lit("")), F.lit("-"))
+        .alias("compression"),
     )
+
+
+PARSE_SYSLOG_TYPE = T.StructType([
+    T.StructField("pri", T.IntegerType()),
+    T.StructField("facility", T.IntegerType()),
+    T.StructField("severity", T.IntegerType()),
+    T.StructField("tstxt", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("appname", T.StringType()),
+    T.StructField("procid", T.LongType()),
+    T.StructField("message", T.StringType()),
+])
 
 
 def parse_syslog(col: Column) -> Column:
@@ -118,6 +188,18 @@ _GLOG_RE = (
     r"(\d{2}:\d{2}:\d{2}\.\d{6})\s+"
     r"(\d+) ([^:]+):(\d+)\] (.*)$"
 )
+PARSE_GLOG_TYPE = T.StructType([
+    T.StructField("level", T.StringType()),
+    T.StructField("month", T.IntegerType()),
+    T.StructField("day", T.IntegerType()),
+    T.StructField("timetxt", T.StringType()),
+    T.StructField("thread_id", T.LongType()),
+    T.StructField("file", T.StringType()),
+    T.StructField("line", T.IntegerType()),
+    T.StructField("message", T.StringType()),
+])
+
+
 def parse_glog(col: Column) -> Column:
     """Google glog line 'I0210 13:55:36.123456  12 file.cc:42] msg' ->
     struct(level, month:int, day:int, timetxt, thread_id:long, file,
@@ -152,6 +234,19 @@ def parse_glog(col: Column) -> Column:
 
 # klog (kubernetes) is the glog layout
 parse_klog = parse_glog
+PARSE_KLOG_TYPE = PARSE_GLOG_TYPE
+
+
+PARSE_CEF_TYPE = T.StructType([
+    T.StructField("cef_version", T.IntegerType()),
+    T.StructField("device_vendor", T.StringType()),
+    T.StructField("device_product", T.StringType()),
+    T.StructField("device_version", T.StringType()),
+    T.StructField("signature_id", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("severity", T.StringType()),
+    T.StructField("extension", T.MapType(T.StringType(), T.StringType())),
+])
 
 
 def parse_cef(col: Column) -> Column:
@@ -186,6 +281,15 @@ _VPC_FLOW_FIELDS = [
 ]
 
 
+_T_BY_NAME = {
+    "int": T.IntegerType(), "bigint": T.LongType(),
+    "double": T.DoubleType(), "string": T.StringType(),
+}
+PARSE_AWS_VPC_FLOW_LOG_TYPE = T.StructType(
+    [T.StructField(n, _T_BY_NAME[t]) for n, t in _VPC_FLOW_FIELDS]
+)
+
+
 def parse_aws_vpc_flow_log(col: Column) -> Column:
     """AWS VPC flow log v2 default format (14 space-delimited fields)
     -> typed struct; '-' fields normalized to NULL
@@ -204,6 +308,8 @@ def parse_aws_vpc_flow_log(col: Column) -> Column:
 # linux authorization logs (auth.log) are RFC3164 syslog lines; the
 # reference's preset is syslog parsing plus auth-specific enrichment
 parse_linux_authorization = parse_syslog
+PARSE_LINUX_AUTHORIZATION_TYPE = PARSE_SYSLOG_TYPE
+PARSE_LOGFMT_TYPE = T.MapType(T.StringType(), T.StringType())
 
 
 # ALB core fields: type .. ssl_protocol plus the quoted request split
@@ -225,6 +331,11 @@ _ALB_FIELDS = [
     ("http_version", "string"), ("user_agent", "string"),
     ("ssl_cipher", "string"), ("ssl_protocol", "string"),
 ]
+
+
+PARSE_AWS_ALB_LOG_TYPE = T.StructType(
+    [T.StructField(n, _T_BY_NAME[t]) for n, t in _ALB_FIELDS]
+)
 
 
 def parse_aws_alb_log(col: Column) -> Column:

@@ -311,6 +311,28 @@ _RET = {
     "parse_timestamp": T.TimestampType(),
 }
 
+# preset parsers return TYPED structs/maps whose declared schemas live
+# next to the parsers (presets.PARSE_*_TYPE, drift-checked by
+# test_presets) — with these registered, `. = parse_common_log!(.line)`
+# statically expands the event to the reference's field set
+# (host/identity/user/timestamp/message/method/path/protocol/status/
+# size, log_util.rs:18-30)
+from vector_spark.functions import presets as _presets  # noqa: E402
+
+_RET.update({
+    "parse_apache_log": _presets.PARSE_APACHE_LOG_TYPE,
+    "parse_common_log": _presets.PARSE_COMMON_LOG_TYPE,
+    "parse_nginx_log": _presets.PARSE_NGINX_LOG_TYPE,
+    "parse_syslog": _presets.PARSE_SYSLOG_TYPE,
+    "parse_linux_authorization": _presets.PARSE_LINUX_AUTHORIZATION_TYPE,
+    "parse_glog": _presets.PARSE_GLOG_TYPE,
+    "parse_klog": _presets.PARSE_KLOG_TYPE,
+    "parse_cef": _presets.PARSE_CEF_TYPE,
+    "parse_aws_vpc_flow_log": _presets.PARSE_AWS_VPC_FLOW_LOG_TYPE,
+    "parse_aws_alb_log": _presets.PARSE_AWS_ALB_LOG_TYPE,
+    "parse_logfmt": _presets.PARSE_LOGFMT_TYPE,
+})
+
 _FALLIBLE = {
     "to_int", "to_float", "to_bool", "to_timestamp", "parse_timestamp",
     "slice", "get", "parse_int",

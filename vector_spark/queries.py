@@ -2660,13 +2660,13 @@ def q_op_parse_access_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = parse_apache_log(line)
     return ev.select(
         "event_id",
-        s["client"].alias("client"),
-        s["auth"].alias("auth"),
-        F.unix_timestamp(s["ts"]).cast("bigint").alias("ts_epoch"),
+        s["host"].alias("host"),
+        s["user"].alias("user"),
+        F.unix_timestamp(s["timestamp"]).cast("bigint").alias("ts_epoch"),
         s["method"].alias("method"),
         s["path"].alias("path"),
-        s["status"].cast("bigint").alias("status"),
-        s["bytes"].alias("bytes"),
+        s["status"].alias("status"),
+        s["size"].alias("size"),
     )
 
 
@@ -2682,13 +2682,13 @@ WITH lines AS (
                 CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)) AS line
   FROM events)
 SELECT event_id,
-       regexp_extract(line, '^(\S+) ', 1) AS client,
-       regexp_extract(line, '^\S+ \S+ (\S+) ', 1) AS auth,
+       regexp_extract(line, '^(\S+) ', 1) AS host,
+       regexp_extract(line, '^\S+ \S+ (\S+) ', 1) AS user,
        CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
        regexp_extract(line, '"(\w+) ', 1) AS method,
        regexp_extract(line, '"\w+ (\S+) ', 1) AS path,
        CAST(regexp_extract(line, '" (\d+) ', 1) AS BIGINT) AS status,
-       CAST(regexp_extract(line, ' (\d+)$', 1) AS BIGINT) AS bytes
+       CAST(regexp_extract(line, ' (\d+)$', 1) AS BIGINT) AS size
 FROM lines
 """
 
