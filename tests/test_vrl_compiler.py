@@ -369,6 +369,120 @@ def test_vrl_rfc8381_replay(spark):
     assert len(passed) >= 13, f"rfc pass floor regressed: {sorted(passed)}"
 
 
+EXTRA_CORPORA_ROOT = "/root/reference/lib/vrl/tests/tests"
+
+# real-semantics divergences, each with the reason it stays open
+EXTRA_KNOWN_DIVERGENT = {
+    # `(fallible || fallible) ?? x` propagation: the reference threads
+    # per-operand error state through || / && chains; our Columns fold
+    # the error to NULL before the ?? sees which side erred
+    "internal/coalesced_fallible_op.vrl",
+    # needs RFC5424 parse_syslog (ours is the RFC3164 dialect)
+    "internal/inner_type_defs.vrl",
+}
+
+EXTRA_SKIP_MARKERS = ALLOWED_SKIP_MARKERS + (
+    "log() has no DataFrame analogue",  # side-effecting diagnostics
+    "array_append(",      # undefined-then-push fallibility (issue 11287
+                          # default-value semantics; static analogue TBD)
+    "%metadata",
+    "`. = <non-object>`",  # scalar event roots: a DataFrame row is an
+                           # object by construction
+    "known divergence",    # EXTRA_KNOWN_DIVERGENT, reasons at the table
+)
+
+
+def _drop_null_extras(got, expected):
+    """Static-schema concession: a DataFrame column cannot be
+    conditionally absent, so a null-valued key the expected object
+    lacks counts as missing (same rule the aborted-row compare uses)."""
+    if isinstance(got, dict) and isinstance(expected, dict):
+        return {
+            k: _drop_null_extras(v, expected.get(k))
+            for k, v in got.items()
+            if v is not None or k in expected
+        }
+    if isinstance(got, list) and isinstance(expected, list):
+        return [_drop_null_extras(g, e) for g, e in zip(got, expected)] + (
+            got[len(expected):]
+        )
+    return got
+
+
+def test_vrl_extra_corpora_replay(spark):
+    """examples/ (the public blog programs — `. = parse_common_log!`
+    end-to-end), issues/ (regression corpus), internal/ — replayed with
+    the expressions-corpus contract plus two static-schema concessions:
+    timestamps compare in their RFC3339 rendering, and null-valued keys
+    absent from the expected object count as missing."""
+    files = []
+    for d in ("examples", "issues", "internal"):
+        files += sorted(
+            glob.glob(f"{EXTRA_CORPORA_ROOT}/{d}/**/*.vrl", recursive=True)
+        )
+    assert len(files) >= 40, "extra corpora moved?"
+    passed, failed, skipped = [], [], []
+    for f in files:
+        rel = f.split("tests/tests/")[1]
+        src = open(f).read()
+        obj_txt, res_txt = _parse_header(src)
+        if rel in EXTRA_KNOWN_DIVERGENT:
+            skipped.append((rel, "known divergence (see table above)"))
+            continue
+        if res_txt is None or res_txt.strip().startswith("~"):
+            skipped.append((rel, "expected-error test"))
+            continue
+        try:
+            expected = json.loads(res_txt)
+        except json.JSONDecodeError:
+            skipped.append((rel, "non-JSON expected result"))
+            continue
+        obj = {}
+        if obj_txt:
+            try:
+                obj = json.loads(obj_txt)
+            except json.JSONDecodeError:
+                skipped.append((rel, "non-JSON input object"))
+                continue
+        try:
+            got, event, aborted = eval_vrl(spark, src, obj)
+        except (VrlUnsupported, VrlCompileError, VrlParseError) as e:
+            skipped.append((rel, f"{type(e).__name__}: {e}"))
+            continue
+        except AnalysisException as e:
+            skipped.append((rel, "static type coercion: "
+                            + str(e).split(chr(10))[0][:110]))
+            continue
+        compare = got if not aborted else {
+            k: v for k, v in event.items()
+            if v is not None or (isinstance(expected, dict) and k in expected)
+        }
+        compare = _drop_null_extras(_rfc3339(compare), expected)
+        if _eq(compare, expected):
+            passed.append(rel)
+        else:
+            failed.append((rel, expected, compare))
+
+    assert not failed, f"extra-corpora mismatches: {failed[:3]}"
+    bad_skips = [
+        (rel, why) for rel, why in skipped
+        if not any(m in why for m in EXTRA_SKIP_MARKERS)
+    ]
+    assert not bad_skips, f"unexplained skips: {bad_skips[:5]}"
+    # marquee files must replay: the reference's own announcement-blog
+    # program and the typed parse_regex walkthrough
+    for must in (
+        "examples/blog_vector_remap_language.vrl",
+        "examples/blog_vector_remap_language_raise_error.vrl",
+        "examples/successful_parse_regex_type.vrl",
+        "examples/successful_parse_syslog_type.vrl",
+        "issues/6792_lost_type_defs.vrl",
+        "internal/ok_assignment_default_value.vrl",
+    ):
+        assert must in passed, f"{must} no longer replays"
+    assert len(passed) >= 21, f"extra-corpora pass floor: {len(passed)}"
+
+
 def test_remap_source_two_ports(spark):
     """operators/remap.py remap_source: VRL-source program with the
     expression-form's (ok, dropped) port contract and annotation."""

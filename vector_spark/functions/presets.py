@@ -34,9 +34,12 @@ APACHE_COMMON_GROK = (
     '%{NOTSPACE:protocol}" %{NOTSPACE:status} %{NOTSPACE:size}'
 )
 
+# whitespace after the program colon is optional and NOT part of the
+# message ('root[8539]:syslog message' parses with message='syslog
+# message' — examples/successful_parse_syslog_type.vrl pins it)
 SYSLOG_3164_GROK = (
     "<%{POSINT:pri}>%{SYSLOGTIMESTAMP:tstxt} %{NOTSPACE:host} "
-    "%{SYSLOGPROG}: %{GREEDYDATA:message}"
+    "%{SYSLOGPROG}:%{SPACE}%{GREEDYDATA:message}"
 )
 
 

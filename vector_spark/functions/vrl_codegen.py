@@ -43,6 +43,7 @@ typed engine cannot replicate every dynamic-typing edge):
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass, replace
 
 from pyspark.sql import Column, functions as F, types as T
@@ -161,8 +162,14 @@ def _resolve(v: Val) -> Column:
     return v.col
 
 
-def _unify(a, b):
-    """Least common type of two branch/coalesce arms, or raise."""
+def _unify(a, b, structs: bool = False):
+    """Least common type of two branch/coalesce arms, or raise.
+
+    structs=True additionally unions two object shapes (field union,
+    absent fields NULL) — wanted for error-coalesce arms like
+    `parse_regex(...) ?? {}`, but NOT for array literals, where
+    widening heterogeneous elements would silently null-pad them (the
+    rfcs/8381 merge-fold corpus relies on per-element static shapes)."""
     if a is None or b is None:
         return None
     if isinstance(a, T.NullType):
@@ -173,6 +180,17 @@ def _unify(a, b):
         return a
     if _is_num(a) and _is_num(b):
         return T.DoubleType()
+    if structs and isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        fields: dict = {}
+        order: list = []
+        for f in list(a.fields) + list(b.fields):
+            if f.name not in fields:
+                fields[f.name] = f.dataType
+                order.append(f.name)
+            else:
+                fields[f.name] = _unify(fields[f.name], f.dataType,
+                                        structs=True)
+        return T.StructType([T.StructField(n, fields[n]) for n in order])
     raise VrlUnsupported(f"cannot unify branch types {a} and {b}")
 
 
@@ -191,6 +209,18 @@ def _cast_to(v: Val, t) -> Column:
     c = _resolve(v)
     if t is None or v.vtype == t or isinstance(v.vtype, T.NullType):
         return c
+    if isinstance(t, T.StructType) and isinstance(v.vtype, T.StructType):
+        # widen to the union shape: present fields recurse, absent ones
+        # are typed NULLs; a NULL struct (VRL error value) stays NULL
+        src = {f.name: f.dataType for f in v.vtype.fields}
+        cols = []
+        for f in t.fields:
+            if f.name in src:
+                sub = Val(c.getField(f.name), src[f.name])
+                cols.append(_cast_to(sub, f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return F.when(c.isNotNull(), F.struct(*cols))
     # try_cast: the session runs ANSI mode (Spark 4 default); VRL's
     # runtime cast errors map to NULL, never to job-killing exceptions
     return c.try_cast(t)
@@ -242,8 +272,11 @@ class Env:
 # --------------------------------------------------------------------------
 
 _TYPE_ASSERTS = {
-    "boolean": T.BooleanType,
-    "integer": T.LongType,
+    # reference identifiers (integer.rs:16 is "int", boolean.rs:17 is
+    # "bool" — the type-assert family is int/float/bool/string/
+    # timestamp/array/object)
+    "bool": T.BooleanType,
+    "int": T.LongType,
     "float": T.DoubleType,
     "string": T.StringType,
     "timestamp": T.TimestampType,
@@ -849,7 +882,7 @@ class _Compiler:
                 return rhs
             if not lhs.fallible:
                 return lhs
-            t = _unify(lhs.vtype, rhs.vtype)
+            t = _unify(lhs.vtype, rhs.vtype, structs=True)
             if t is None:
                 # dynamic (JSON) side: coalesce in JSON-string space
                 out = F.when(_resolve(lhs).isNotNull(), _stringly(lhs)
@@ -1116,6 +1149,12 @@ class _Compiler:
             return self._assert(node)
         if name in _TYPE_ASSERTS:
             return self._type_assert(node)
+        if name == "slice":
+            return self._slice(node)
+        if name == "merge":
+            return self._merge_call(node)
+        if name == "parse_regex":
+            return self._parse_regex_call(node)
         if name in _IS_TESTS:
             v = self.expr(node.args[0][1])
             want = _IS_TESTS[name]
@@ -1622,8 +1661,8 @@ class _Compiler:
         )
         if v.vtype is None:
             # dynamic (JSON proxy): cast on faith
-            casts = {"integer": "long", "float": "double", "string": "string",
-                     "boolean": "boolean"}
+            casts = {"int": "long", "float": "double", "string": "string",
+                     "bool": "boolean"}
             if node.name in casts:
                 out = Val(_resolve(v).try_cast(casts[node.name]),
                           _TYPE_ASSERTS[node.name](), fallible=True)
@@ -1638,6 +1677,140 @@ class _Compiler:
             return replace(v, fallible=False)
         return Val(F.lit(None).cast("string"), T.StringType(),
                    fallible=True, always_err=True)
+
+    def _named_args(self, node: FnCall, names: list):
+        """Resolve a FnCall's args to the reference parameter order:
+        positional args fill `names` left to right, keyword args match
+        by name. Returns AST nodes (None where absent)."""
+        kw = {n: e for n, e in node.args if n}
+        pos = [e for n, e in node.args if not n]
+        out = []
+        for i, nm in enumerate(names):
+            out.append(kw.get(nm, pos[i] if len(pos) > i else None))
+        return out
+
+    def _slice(self, node: FnCall) -> Val:
+        """slice.rs:6-41: value is string|array; start inclusive, end
+        exclusive, negatives count from the end, end defaults to len and
+        clamps to len; adjusted start outside [0, len] or end<start is a
+        per-row ERROR (null here, abort under slice!)."""
+        vnode, snode, enode = self._named_args(node, ["value", "start", "end"])
+        v = self.expr(vnode)
+        s = self.expr(snode)
+        is_arr = isinstance(v.vtype, T.ArrayType)
+        is_str = isinstance(v.vtype, T.StringType)
+        if not (is_arr or is_str):
+            tn = _vrl_type_name(v.vtype)
+            out = Val(
+                F.lit(None).cast("string"), T.StringType(), fallible=True,
+                always_err=True,
+                err_msg=F.lit(f"expected string or array, got {tn}"),
+            )
+            return self._bangify(node, out, v)
+        c, sc = _resolve(v), _resolve(s).cast("int")
+        n = F.size(c) if is_arr else F.length(c)
+        start = F.when(sc < 0, sc + n).otherwise(sc)
+        if enode is None:
+            end = n
+        else:
+            ec = _resolve(self.expr(enode)).cast("int")
+            end = F.when(ec < 0, ec + n).otherwise(ec)
+        err = (start < 0) | (start > n) | (end < start)
+        eff_end = F.least(end, n)
+        length = F.greatest(eff_end - start, F.lit(0))
+        if is_arr:
+            body = F.slice(c, F.greatest(start, F.lit(0)) + 1, length)
+        else:
+            body = c.substr(F.greatest(start, F.lit(0)) + 1, length)
+        out = Val(F.when(~err, body), v.vtype, fallible=True)
+        return self._bangify(node, out, v)
+
+    def _merge_call(self, node: FnCall) -> Val:
+        """merge.rs: shallow (default) or deep merge of two objects;
+        non-object operands are an error. Static struct types make the
+        deep recursion a compile-time fold."""
+        tnode, fnode, dnode = self._named_args(node, ["to", "from", "deep"])
+        to, frm = self.expr(tnode), self.expr(fnode)
+        deep = False
+        if dnode is not None:
+            dv = self.expr(dnode)
+            if dv.pylit is MISSING or not isinstance(dv.pylit, bool):
+                raise VrlUnsupported("merge(deep:) must be a literal bool")
+            deep = dv.pylit
+        objs = (T.StructType, T.MapType)
+        if not (isinstance(to.vtype, objs) and isinstance(frm.vtype, objs)):
+            out = Val(
+                F.from_json(F.lit(None), T.StructType([])), T.StructType([]),
+                fallible=True, always_err=True,
+                err_msg=F.lit("merge on non-object operands"),
+            )
+            return self._bangify(node, out, to)
+        out = self._merge_deep(to, frm) if deep else self._merge(to, frm)
+        return self._bangify(node, out, to)
+
+    def _merge_deep(self, lhs: Val, rhs: Val) -> Val:
+        if isinstance(lhs.vtype, T.StructType) and isinstance(
+                rhs.vtype, T.StructType):
+            col = lhs.col
+            fields = {f.name: f.dataType for f in lhs.vtype.fields}
+            if not lhs.vtype.fields:
+                return rhs
+            for f in rhs.vtype.fields:
+                rv = Val(rhs.col.getField(f.name), f.dataType)
+                if (f.name in fields
+                        and isinstance(fields[f.name], T.StructType)
+                        and isinstance(f.dataType, T.StructType)):
+                    rv = self._merge_deep(
+                        Val(col.getField(f.name), fields[f.name]), rv
+                    )
+                col = col.withField(f.name, rv.col)
+                fields[f.name] = rv.vtype
+            return Val(col, T.StructType(
+                [T.StructField(k, v) for k, v in fields.items()]
+            ))
+        return self._merge(lhs, rhs)
+
+    def _parse_regex_call(self, node: FnCall) -> Val:
+        """parse_regex.rs: named captures -> object; numeric_groups adds
+        '0' (whole match) and '1'..'N' (every capture by index). The
+        pattern must be a regex literal — its group table is compiled
+        here on the driver, the per-row work is one JVM regexp pass."""
+        vnode, pnode, gnode = self._named_args(
+            node, ["value", "pattern", "numeric_groups"]
+        )
+        v = self.expr(vnode)
+        p = self.expr(pnode)
+        if p.vtype is not _REGEX or not isinstance(p.pylit, str):
+            raise VrlUnsupported("parse_regex pattern must be a regex literal")
+        numeric = False
+        if gnode is not None:
+            gv = self.expr(gnode)
+            if gv.pylit is MISSING or not isinstance(gv.pylit, bool):
+                raise VrlUnsupported(
+                    "parse_regex(numeric_groups:) must be a literal bool"
+                )
+            numeric = gv.pylit
+        try:
+            compiled = _re.compile(p.pylit)
+        except _re.error as e:
+            raise VrlUnsupported(f"parse_regex: bad pattern: {e}") from e
+        groups = {nm: ix for nm, ix in compiled.groupindex.items()}
+        if numeric:
+            groups.update({str(i): i for i in range(compiled.groups + 1)})
+        # JVM regex dialect: strip python's P from named groups
+        java_rx = p.pylit.replace("(?P<", "(?<")
+        from vector_spark.functions.parse import parse_regex as _pr
+
+        stype = T.StructType(
+            [T.StructField(nm, T.StringType()) for nm in groups]
+        )
+        c = _resolve(v)
+        # no-match is a VRL ERROR ("could not find any pattern matches"):
+        # NULL struct here so `!` aborts and `??` falls back, not a
+        # struct of nulls
+        out_col = F.when(c.rlike(java_rx), _pr(c, java_rx, groups))
+        out = Val(out_col, stype, fallible=True)
+        return self._bangify(node, out, v)
 
     # python null-substitute, cast target, result type (Columns are
     # built lazily: no SparkContext exists at import time)

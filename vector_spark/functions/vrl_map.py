@@ -90,6 +90,12 @@ def _strptime_java(fmt: str) -> str:
         if rest[:1] == ":" and rest[1:2] == "z":
             out.append("xxx")
             i += 3
+        elif rest[:1] == "+":
+            # chrono %+ = RFC3339 ("%Y-%m-%dT%H:%M:%S%.f%:z"); Spark's
+            # pattern dialect has no optional fraction section, so map
+            # the whole-second form (XXX accepts both '+00:00' and 'Z')
+            out.append("yyyy-MM-dd'T'HH:mm:ssXXX")
+            i += 2
         elif rest[:1] == "." and rest[1:2] in "369" and rest[2:3] == "f":
             out.append("." + "S" * int(rest[1]))
             i += 4
@@ -135,7 +141,7 @@ VRL: dict[str, VrlFn] = {
     "parse_csv": VrlFn("native", "F.from_csv(options={'escape': '\"'})", lambda c, s, o=None: F.from_csv(c, s, o or {"escape": '"'})),
     "parse_key_value": VrlFn("compose", "parse.parse_key_value -> map", parse_key_value),
     "parse_logfmt": VrlFn("compose", "presets.parse_logfmt", parse_logfmt),
-    "parse_timestamp": VrlFn("native", "F.to_timestamp(fmt); strptime formats auto-converted", lambda c, f: F.to_timestamp(c, _ts_fmt(f))),
+    "parse_timestamp": VrlFn("native", "F.to_timestamp(fmt); strptime formats auto-converted", lambda c, f=None, format=None: F.to_timestamp(c, _ts_fmt(format if format is not None else f))),
     "parse_duration": VrlFn("compose", "vrl_compat.parse_duration", V.parse_duration),
     "parse_int": VrlFn("compose", "vrl_compat.parse_int (F.conv)", V.parse_int),
     "parse_url": VrlFn("compose", "vrl_compat.parse_url (F.parse_url)", V.parse_url),
