@@ -57,18 +57,46 @@ def test_syslog_3164(spark):
         "<34>Oct 11 22:14:15 mymachine su: 'su root' failed for lonvick",
         parse_syslog,
     )
-    assert row.pri == 34
-    assert row.facility == 4  # auth
-    assert row.severity == 2  # critical
+    assert row.facility == "auth"  # code 4
+    assert row.severity == "crit"  # code 2
     assert row.tstxt == "Oct 11 22:14:15"
-    assert row.host == "mymachine"
+    assert row.timestamp is None  # RFC3164 stamps carry no year/zone
+    assert row.hostname == "mymachine"
     assert row.appname == "su"
     assert row.message == "'su root' failed for lonvick"
 
 
 def test_syslog_space_padded_day(spark):
     row = _one(spark, "<13>Jan  5 01:02:03 h1 app: m", parse_syslog)
-    assert row.host == "h1" and row.tstxt == "Jan  5 01:02:03"
+    assert row.hostname == "h1" and row.tstxt == "Jan  5 01:02:03"
+
+
+def test_syslog_rfc5424(spark):
+    row = _one(
+        spark,
+        '<165>1 2020-03-13T20:45:38.119Z dynamicwireless.name non 2426 '
+        'ID931 [exampleSDID@32473 iut="3"] Try to override the rule',
+        parse_syslog,
+    )
+    # parse_syslog.rs:40-53 doc example (SD elements are matched but
+    # not expanded — dynamic root keys don't fit a static schema)
+    assert row.severity == "notice" and row.facility == "local4"
+    assert row.hostname == "dynamicwireless.name"
+    assert row.appname == "non" and row.procid == 2426
+    assert row.msgid == "ID931" and row.version == 1
+    assert row.message == "Try to override the rule"
+    assert row.timestamp == datetime.datetime(2020, 3, 13, 20, 45, 38, 119000)
+
+
+def test_syslog_rfc5424_nil_fields(spark):
+    row = _one(spark, "<0>1 2020-03-13T20:45:38.119Z a a 0 a [] baz",
+               parse_syslog)
+    assert row.severity == "emerg" and row.facility == "kern"
+    assert row.message == "baz" and row.procid == 0
+    row = _one(spark, "<13>1 - - - - - -", parse_syslog)
+    assert row.hostname is None and row.appname is None
+    assert row.msgid is None and row.timestamp is None
+    assert row.message is None or row.message == ""
 
 
 def test_logfmt(spark):

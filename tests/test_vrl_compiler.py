@@ -377,8 +377,6 @@ EXTRA_KNOWN_DIVERGENT = {
     # per-operand error state through || / && chains; our Columns fold
     # the error to NULL before the ?? sees which side erred
     "internal/coalesced_fallible_op.vrl",
-    # needs RFC5424 parse_syslog (ours is the RFC3164 dialect)
-    "internal/inner_type_defs.vrl",
 }
 
 EXTRA_SKIP_MARKERS = ALLOWED_SKIP_MARKERS + (

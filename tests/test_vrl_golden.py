@@ -597,9 +597,16 @@ CASES = [
         "Mozilla/5.0 (X11; Linux)",
     ),
     ("parse_nginx_status", lambda: _fn("parse_nginx_log")(L(_NGINX_LINE))["status"], 404),
-    # parse_syslog.rs (RFC3164 dialect of the preset)
-    ("parse_syslog_host", lambda: _fn("parse_syslog")(L(_SYSLOG_LINE))["host"], "mymachine"),
-    ("parse_syslog_severity", lambda: _fn("parse_syslog")(L(_SYSLOG_LINE))["severity"], 2),
+    # parse_syslog.rs (RFC3164 dialect; reference field names/keywords)
+    ("parse_syslog_host", lambda: _fn("parse_syslog")(L(_SYSLOG_LINE))["hostname"], "mymachine"),
+    ("parse_syslog_severity", lambda: _fn("parse_syslog")(L(_SYSLOG_LINE))["severity"], "crit"),
+    (
+        "parse_syslog_5424_msgid",
+        lambda: _fn("parse_syslog")(
+            L("<165>1 2020-03-13T20:45:38.119Z host app 2426 ID931 - hi")
+        )["msgid"],
+        "ID931",
+    ),
     # parse_linux_authorization.rs (= syslog layout)
     (
         "parse_linux_auth_appname",

@@ -144,37 +144,91 @@ def parse_nginx_log(col: Column) -> Column:
     )
 
 
+# severity/facility keyword tables — syslog_loose's as_str() names,
+# which parse_syslog.rs:109-115 surfaces verbatim ("notice", "user");
+# the facility table differs from to_syslog_facility.rs's at codes
+# 13-15 (audit/alert/clockd), hence a separate list from vrl_compat's
+_SYSLOG_SEVERITY_NAMES = [
+    "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug",
+]
+_SYSLOG_FACILITY_NAMES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "audit", "alert", "clockd",
+] + [f"local{i}" for i in range(8)]
+
+# RFC5424: <pri>VERSION SP TIMESTAMP SP HOSTNAME SP APP-NAME SP PROCID
+# SP MSGID SP STRUCTURED-DATA [SP MSG]; nil fields are '-', SD is '-'
+# or [..] blocks (no unescaped ']' inside an element)
+_SYSLOG_5424_RE = (
+    r"^<(\d{1,3})>(\d{1,2}) (\S+) (\S+) (\S+) (\S+) (\S+) "
+    r"(-|(?:\[[^\]]*\])+)(?: (.*))?$"
+)
+_SYSLOG_5424_GROUPS = {
+    "pri": 1, "version": 2, "timestamp": 3, "hostname": 4,
+    "appname": 5, "procid": 6, "msgid": 7, "sd": 8, "message": 9,
+}
+
 PARSE_SYSLOG_TYPE = T.StructType([
-    T.StructField("pri", T.IntegerType()),
-    T.StructField("facility", T.IntegerType()),
-    T.StructField("severity", T.IntegerType()),
-    T.StructField("tstxt", T.StringType()),
-    T.StructField("host", T.StringType()),
+    T.StructField("message", T.StringType()),
+    T.StructField("hostname", T.StringType()),
+    T.StructField("severity", T.StringType()),
+    T.StructField("facility", T.StringType()),
     T.StructField("appname", T.StringType()),
     T.StructField("procid", T.LongType()),
-    T.StructField("message", T.StringType()),
+    T.StructField("msgid", T.StringType()),
+    T.StructField("version", T.LongType()),
+    T.StructField("timestamp", T.TimestampType()),
+    T.StructField("tstxt", T.StringType()),
 ])
 
 
+def _code_name(code: Column, names: list) -> Column:
+    out = F.when(code == 0, F.lit(names[0]))
+    for i, name in enumerate(names[1:], start=1):
+        out = out.when(code == i, F.lit(name))
+    return out.otherwise(F.lit(None).cast("string"))
+
+
 def parse_syslog(col: Column) -> Column:
-    """RFC3164-ish syslog line '<pri>MMM dd HH:mm:ss host app: msg' ->
-    struct(pri:int, facility:int, severity:int, tstxt, host, appname,
-    procid, message). The SYSLOGPROG composite splits 'app[pid]' into
-    appname + procid like the reference. Timestamp is left textual:
-    RFC3164 stamps carry no year or zone — resolving them is a policy
-    decision for the caller.
-    (parse_syslog.rs; severity/facility split per RFC5424 PRI.)"""
-    g = grok_extract_native(col, SYSLOG_3164_GROK)
-    pri = g["pri"].try_cast("int")
+    """Syslog line (RFC5424 or RFC3164 dialect, auto-detected) ->
+    struct(message, hostname, severity, facility, appname, procid:long,
+    msgid, version:long, timestamp:timestamp, tstxt) — the reference's
+    field names and value kinds (parse_syslog.rs:103-165: severity and
+    facility are syslog_loose KEYWORDS like 'notice'/'user', hostname
+    not host). Two additions the static schema affords: `tstxt` keeps
+    the raw stamp text for RFC3164 lines (which carry no year or zone —
+    resolving them is the caller's policy), and `procid` is long
+    (numeric procids; alphanumeric RFC5424 PROCIDs null out). RFC5424
+    STRUCTURED-DATA elements become dynamic root keys in the reference;
+    a static schema cannot grow per-row columns, so SD is matched but
+    not expanded."""
+    from vector_spark.functions.parse import parse_regex
+
+    is5424 = col.rlike(r"^<\d{1,3}>\d{1,2} ")
+    g5 = parse_regex(col, _SYSLOG_5424_RE, _SYSLOG_5424_GROUPS)
+    g3 = grok_extract_native(col, SYSLOG_3164_GROK)
+
+    def pick(f5, f3):
+        return F.when(is5424, f5).otherwise(f3)
+
+    def nil(c):
+        return F.nullif(c, F.lit("-"))
+
+    pri = pick(g5["pri"], g3["pri"]).try_cast("int")
+    ts5 = F.try_to_timestamp(nil(g5["timestamp"]))
     return F.struct(
-        pri.alias("pri"),
-        F.floor(pri / 8).cast("int").alias("facility"),
-        F.pmod(pri, F.lit(8)).cast("int").alias("severity"),
-        g["tstxt"].alias("tstxt"),
-        g["host"].alias("host"),
-        g["program"].alias("appname"),
-        g["pid"].try_cast("bigint").alias("procid"),
-        g["message"].alias("message"),
+        pick(g5["message"], g3["message"]).alias("message"),
+        nil(pick(g5["hostname"], g3["host"])).alias("hostname"),
+        _code_name(F.pmod(pri, F.lit(8)), _SYSLOG_SEVERITY_NAMES)
+        .alias("severity"),
+        _code_name(F.floor(pri / 8).cast("int"), _SYSLOG_FACILITY_NAMES)
+        .alias("facility"),
+        nil(pick(g5["appname"], g3["program"])).alias("appname"),
+        nil(pick(g5["procid"], g3["pid"])).try_cast("bigint").alias("procid"),
+        F.when(is5424, nil(g5["msgid"])).alias("msgid"),
+        F.when(is5424, g5["version"]).try_cast("bigint").alias("version"),
+        F.when(is5424, ts5).alias("timestamp"),
+        pick(nil(g5["timestamp"]), g3["tstxt"]).alias("tstxt"),
     )
 
 

@@ -2132,8 +2132,9 @@ def q_op_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_op_parse_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_syslog preset round trip: deterministic RFC3164 lines
-    synthesized from events columns, parsed back to typed fields
-    (parse_syslog.rs; PRI split per RFC5424)."""
+    synthesized from events columns, parsed back to the reference's
+    typed fields (parse_syslog.rs:103-165 — severity/facility as
+    syslog_loose keywords, hostname/appname/procid/message)."""
     from vector_spark.functions.presets import parse_syslog
 
     ev = _tbl(spark, sf_dir, "events")
@@ -2152,11 +2153,10 @@ def q_op_parse_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = parse_syslog(line)
     return ev.select(
         "event_id",
-        s["pri"].alias("pri"),
-        s["facility"].alias("facility"),
         s["severity"].alias("severity"),
+        s["facility"].alias("facility"),
         s["tstxt"].alias("tstxt"),
-        s["host"].alias("host"),
+        s["hostname"].alias("hostname"),
         s["appname"].alias("appname"),
         s["procid"].alias("procid"),
         s["message"].alias("message"),
@@ -2185,10 +2185,14 @@ p AS (
          CAST(nullif(regexp_extract(line, '{_SYSLOG_RE}', 5), '') AS BIGINT) AS procid,
          regexp_extract(line, '{_SYSLOG_RE}', 6) AS message
   FROM lines)
-SELECT event_id, pri,
-       CAST(floor(pri / 8) AS INTEGER) AS facility,
-       CAST(pri % 8 AS INTEGER) AS severity,
-       tstxt, host, appname, procid, message
+SELECT event_id,
+       (['emerg','alert','crit','err','warning','notice','info','debug'])
+         [(pri % 8) + 1] AS severity,
+       (['kern','user','mail','daemon','auth','syslog','lpr','news','uucp',
+         'cron','authpriv','ftp','ntp','audit','alert','clockd','local0',
+         'local1','local2','local3','local4','local5','local6','local7'])
+         [CAST(floor(pri / 8) AS INTEGER) + 1] AS facility,
+       tstxt, host AS hostname, appname, procid, message
 FROM p
 """
 
@@ -3596,8 +3600,11 @@ QUERIES = {
     "op_route_events": q_op_route_events,
     "dp_repetition": q_dp_repetition,
     "dp_decontaminate": q_dp_decontaminate,
-    "dp_split": q_dp_split,
-    "dp_top_words": q_dp_top_words,
+    # r5-changed (preset field-name parity): rotated into the gate in
+    # place of dp_split/dp_top_words (zero-shuffle projections, r3-green
+    # + per-CI oracle parity, untouched since)
+    "op_parse_syslog": q_op_parse_syslog,
+    "op_parse_access_log": q_op_parse_access_log,
     "dp_minhash_sig": q_dp_minhash_sig,
     "dp_fingerprint": q_dp_fingerprint,
     "dp_bpe_tokens": q_dp_bpe_tokens,
@@ -3631,8 +3638,8 @@ QUERIES = {
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
     "pipe_parse_typed": q_pipe_parse_typed,
     "op_parse_combined": q_op_parse_combined,
-    "op_parse_syslog": q_op_parse_syslog,
-    "op_parse_access_log": q_op_parse_access_log,
+    "dp_split": q_dp_split,
+    "dp_top_words": q_dp_top_words,
     "op_route_ddsearch": q_op_route_ddsearch,
     "op_vrl_strings": q_op_vrl_strings,
     "dp_jaccard_pairs": q_dp_jaccard_pairs,
