@@ -381,8 +381,6 @@ EXTRA_KNOWN_DIVERGENT = {
 
 EXTRA_SKIP_MARKERS = ALLOWED_SKIP_MARKERS + (
     "log() has no DataFrame analogue",  # side-effecting diagnostics
-    "array_append(",      # undefined-then-push fallibility (issue 11287
-                          # default-value semantics; static analogue TBD)
     "%metadata",
     "`. = <non-object>`",  # scalar event roots: a DataFrame row is an
                            # object by construction
@@ -475,10 +473,13 @@ def test_vrl_extra_corpora_replay(spark):
         "examples/successful_parse_regex_type.vrl",
         "examples/successful_parse_syslog_type.vrl",
         "issues/6792_lost_type_defs.vrl",
+        "issues/11287_http_pipelines_blackhole.vrl",
         "internal/ok_assignment_default_value.vrl",
+        "internal/progressive_type_checking.vrl",
+        "internal/inner_type_defs.vrl",
     ):
         assert must in passed, f"{must} no longer replays"
-    assert len(passed) >= 21, f"extra-corpora pass floor: {len(passed)}"
+    assert len(passed) >= 24, f"extra-corpora pass floor: {len(passed)}"
 
 
 def test_remap_source_two_ports(spark):

@@ -127,6 +127,14 @@ def _type_default(t) -> Column:
         return F.lit(False)
     if isinstance(t, T.ArrayType):
         return F.array().cast(t)
+    if isinstance(t, T.StructType):
+        # VRL's object default is {}; the static analogue is the shape
+        # with every field null
+        if not t.fields:
+            return F.from_json(F.lit("{}"), t)
+        return F.struct(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in t.fields]
+        )
     return F.lit(None).cast(t)
 
 
@@ -369,6 +377,16 @@ _RET.update({
 _FALLIBLE = {
     "to_int", "to_float", "to_bool", "to_timestamp", "parse_timestamp",
     "slice", "get", "parse_int",
+}
+
+# scalar-string functions: a collection operand is a per-row runtime
+# error in VRL (fed through ??/!), not a plan-analysis failure
+_SCALAR_INPUT_FNS = {
+    "upcase", "downcase", "truncate", "strip_whitespace",
+    "strip_ansi_escape_codes", "replace", "sha1", "sha2", "sha3", "md5",
+    "contains", "starts_with", "ends_with", "snakecase", "camelcase",
+    "kebabcase", "pascalcase", "encode_base64", "encode_percent",
+    "decode_percent", "strlen",
 }
 
 
@@ -1197,6 +1215,26 @@ class _Compiler:
         """
         a = self.expr(node.args[0][1])
         b = self.expr(node.args[1][1])
+        if a.vtype is not None and not isinstance(a.vtype, T.ArrayType):
+            # push/append on a statically non-array value (incl.
+            # null/undefined) is a runtime ERROR whose success type is
+            # still array — so `x, err = push(.x, v)` leaves x at the
+            # array default [] and a following infallible push works
+            # (issues/11287), and `push(s, v) ?? fallback` takes the
+            # fallback (internal/progressive_type_checking)
+            if node.name == "push":
+                et = b.vtype or T.StringType()
+            elif isinstance(b.vtype, T.ArrayType):
+                et = b.vtype.elementType
+            else:
+                et = T.StringType()
+            t = T.ArrayType(et)
+            return Val(
+                F.lit(None).cast(t), t, fallible=True, always_err=True,
+                err_msg=F.lit(
+                    f"expected array, got {_vrl_type_name(a.vtype)}"
+                ),
+            )
         if not isinstance(a.vtype, T.ArrayType):
             return self._registry_call(node)
         is_empty_lit = a.pylit is not MISSING and a.pylit == []
@@ -1857,6 +1895,22 @@ class _Compiler:
                 kw[arg_name] = pyarg
             else:
                 pos.append(pyarg)
+        if (name in _SCALAR_INPUT_FNS and val_pos
+                and val_pos[0].vtype is not None
+                and not isinstance(val_pos[0].vtype,
+                                   (T.StringType, T.NullType))):
+            # statically-known non-string into a string function: a
+            # per-row runtime error in VRL (`upcase(arr) ?? fallback`
+            # takes the fallback, upcase(3.2) doesn't stringify-then-
+            # upcase), never a Spark AnalysisException or implicit cast
+            ret = _RET.get(name) or T.StringType()
+            out = Val(
+                F.lit(None).cast(ret), ret, fallible=True, always_err=True,
+                err_msg=F.lit(
+                    f"expected string, got {_vrl_type_name(val_pos[0].vtype)}"
+                ),
+            )
+            return self._bangify(node, out, val_pos[0])
         folded = _try_pyfold(name, val_pos, val_kw)
         if folded is not MISSING:
             return self._bangify(node, _lit(folded, T.StringType()),
