@@ -382,6 +382,8 @@ EXTRA_KNOWN_DIVERGENT = {
 EXTRA_SKIP_MARKERS = ALLOWED_SKIP_MARKERS + (
     "log() has no DataFrame analogue",  # side-effecting diagnostics
     "%metadata",
+    "del() with index path",  # del on coalesce/index paths — the one
+                              # user is a type_def() reflection file
     "`. = <non-object>`",  # scalar event roots: a DataFrame row is an
                            # object by construction
     "known divergence",    # EXTRA_KNOWN_DIVERGENT, reasons at the table
@@ -412,11 +414,11 @@ def test_vrl_extra_corpora_replay(spark):
     timestamps compare in their RFC3339 rendering, and null-valued keys
     absent from the expected object count as missing."""
     files = []
-    for d in ("examples", "issues", "internal"):
+    for d in ("examples", "issues", "internal", "functions"):
         files += sorted(
             glob.glob(f"{EXTRA_CORPORA_ROOT}/{d}/**/*.vrl", recursive=True)
         )
-    assert len(files) >= 40, "extra corpora moved?"
+    assert len(files) >= 50, "extra corpora moved?"
     passed, failed, skipped = [], [], []
     for f in files:
         rel = f.split("tests/tests/")[1]
@@ -477,9 +479,11 @@ def test_vrl_extra_corpora_replay(spark):
         "internal/ok_assignment_default_value.vrl",
         "internal/progressive_type_checking.vrl",
         "internal/inner_type_defs.vrl",
+        "functions/array.vrl",
+        "functions/object.vrl",
     ):
         assert must in passed, f"{must} no longer replays"
-    assert len(passed) >= 24, f"extra-corpora pass floor: {len(passed)}"
+    assert len(passed) >= 26, f"extra-corpora pass floor: {len(passed)}"
 
 
 def test_remap_source_two_ports(spark):
