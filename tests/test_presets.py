@@ -51,6 +51,48 @@ def test_common_log_alias(spark):
     assert parse_common_log is parse_apache_log
 
 
+def test_apache_combined_log(spark):
+    row = _one(
+        spark,
+        '127.0.0.1 bob frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+        '"http://www.seniorinfomediaries.com/vertical/channels" '
+        '"Mozilla/5.0 (X11; Linux i686)"',
+        lambda c: parse_apache_log(c, format="combined"),
+    )
+    assert row.status == 200 and row.size == 2326
+    assert row.referrer == (
+        "http://www.seniorinfomediaries.com/vertical/channels"
+    )
+    assert row.agent == "Mozilla/5.0 (X11; Linux i686)"
+
+
+def test_apache_error_log(spark):
+    # parse_apache_log.rs error_line_valid
+    row = _one(
+        spark,
+        "[01/Mar/2021:12:00:19 +0000] [ab:alert] [pid 4803:tid 3814] "
+        "[client 147.159.108.175:24259] I'll bypass the haptic COM "
+        "bandwidth, that should matrix the CSS driver!",
+        lambda c: parse_apache_log(c, format="error"),
+    )
+    assert row.timestamp == datetime.datetime(2021, 3, 1, 12, 0, 19)
+    assert row.module == "ab" and row.severity == "alert"
+    assert row.pid == 4803 and row.thread == "3814"
+    assert row.client == "147.159.108.175" and row.port == 24259
+    assert row.message.startswith("I'll bypass the haptic")
+
+
+def test_apache_custom_timestamp_format(spark):
+    # parse_apache_log.rs log_line_valid_with_timestamp_format
+    row = _one(
+        spark,
+        '127.0.0.1 - - [Wed Mar 01 12:00:19 2021] "GET /x HTTP/1.0" 200 2',
+        lambda c: parse_apache_log(c, timestamp_format="%a %b %d %T %Y"),
+    )
+    assert row.timestamp == datetime.datetime(2021, 3, 1, 12, 0, 19)
+
+
 def test_syslog_3164(spark):
     row = _one(
         spark,

@@ -380,7 +380,6 @@ EXTRA_KNOWN_DIVERGENT = {
 }
 
 EXTRA_SKIP_MARKERS = ALLOWED_SKIP_MARKERS + (
-    "log() has no DataFrame analogue",  # side-effecting diagnostics
     "%metadata",
     "del() with index path",  # del on coalesce/index paths — the one
                               # user is a type_def() reflection file
@@ -472,6 +471,8 @@ def test_vrl_extra_corpora_replay(spark):
     for must in (
         "examples/blog_vector_remap_language.vrl",
         "examples/blog_vector_remap_language_raise_error.vrl",
+        "examples/blog_vector_remap_language_handle_error.vrl",
+        "examples/blog_vector_remap_language_specify_types.vrl",
         "examples/successful_parse_regex_type.vrl",
         "examples/successful_parse_syslog_type.vrl",
         "issues/6792_lost_type_defs.vrl",
@@ -483,7 +484,19 @@ def test_vrl_extra_corpora_replay(spark):
         "functions/object.vrl",
     ):
         assert must in passed, f"{must} no longer replays"
-    assert len(passed) >= 26, f"extra-corpora pass floor: {len(passed)}"
+    assert len(passed) >= 28, f"extra-corpora pass floor: {len(passed)}"
+
+
+def test_vrl_parse_apache_format_dispatch(spark):
+    """parse_apache_log's format: literal selects the static return
+    shape (parse_apache_log.rs:19-27) — error-format fields are typed
+    (pid/port long) and addressable from VRL source."""
+    src = '''p = parse_apache_log!(.line, format: "error")
+{"mod": p.module, "pid": p.pid, "port": p.port}'''
+    line = ("[01/Mar/2021:12:00:19 +0000] [ab:alert] [pid 4803:tid 3814] "
+            "[client 1.2.3.4:24259] msg")
+    got, _, _ = eval_vrl(spark, src, {"line": line})
+    assert got == {"mod": "ab", "pid": 4803, "port": 24259}
 
 
 def test_remap_source_two_ports(spark):

@@ -28,9 +28,12 @@ from vector_spark.functions.parse import parse_key_value
 # regex accepts '-' per field and leaves that field null rather than
 # failing the whole line. try_cast below turns '-' into NULL, matching
 # that field-level leniency.
+# the timestamp matcher is any-bracket-content (DATA), not HTTPDATE:
+# the reference regex is `[^\[]*` (log_util.rs:21) so custom
+# timestamp_format values parse too
 APACHE_COMMON_GROK = (
     '%{NOTSPACE:host} %{NOTSPACE:identity} %{NOTSPACE:user} '
-    '[%{HTTPDATE:timestamp}] "%{WORD:method} %{NOTSPACE:path} '
+    '[%{DATA:timestamp}] "%{WORD:method} %{NOTSPACE:path} '
     '%{NOTSPACE:protocol}" %{NOTSPACE:status} %{NOTSPACE:size}'
 )
 
@@ -61,20 +64,113 @@ PARSE_APACHE_LOG_TYPE = T.StructType([
 ])
 
 
-def parse_apache_log(col: Column) -> Column:
-    """Apache Common Log Format line -> struct(host, identity, user,
-    timestamp:timestamp, message, method, path, protocol, status:long,
-    size:long) — the exact field set and names of the reference
-    (parse_common_log.rs:106-118 / parse_apache_log.rs:147-158,
-    'common' format; VRL integers are i64, hence long). `message` is
-    the full request text 'method SP path SP protocol' exactly as the
-    reference's nested message group captures it (log_util.rs:23-27)."""
-    g = grok_extract_native(col, APACHE_COMMON_GROK)
-    return F.struct(
+# apache 'combined' = common + quoted referrer/agent; the reference
+# spells it 'referrer' here (log_util.rs:58,62 — unlike nginx's
+# single-r 'referer')
+APACHE_COMBINED_GROK = (
+    APACHE_COMMON_GROK + ' "%{DATA:referrer}" "%{DATA:agent}"'
+)
+
+PARSE_APACHE_LOG_COMBINED_TYPE = T.StructType(
+    [T.StructField(n, T.StringType()) for n in
+     ("host", "identity", "user")]
+    + [T.StructField("timestamp", T.TimestampType())]
+    + [T.StructField(n, T.StringType()) for n in
+       ("message", "method", "path", "protocol")]
+    + [T.StructField("status", T.LongType()),
+       T.StructField("size", T.LongType()),
+       T.StructField("referrer", T.StringType()),
+       T.StructField("agent", T.StringType())]
+)
+
+# apache error log, the flog-style 'simple' variant — the first regex
+# of REGEX_APACHE_ERROR_LOG (log_util.rs:76-89) and the one the
+# reference's own parse_apache_log tests exercise; the threaded-MPM
+# variant (log_util.rs:93-104) is not implemented
+_APACHE_ERROR_RE = (
+    r"^\s*(-|\[(-|([^\[]*))\])\s+"
+    r"(-|\[(-|([^:]*):([^\[]*))\])\s+"
+    r"(-|\[\s*pid\s*(-|([^:]*)(:\s*tid\s*([^\[]*))?)\])\s"
+    r"(-|\[\s*client\s*(-|(.*:?):([^\[]*))\])\s"
+    r"(-|(.*))\s*$"
+)
+_APACHE_ERROR_GROUPS = {
+    "timestamp": 3, "module": 6, "severity": 7, "pid": 10,
+    "thread": 12, "client": 15, "port": 16, "message": 18,
+}
+
+PARSE_APACHE_LOG_ERROR_TYPE = T.StructType([
+    T.StructField("timestamp", T.TimestampType()),
+    T.StructField("module", T.StringType()),
+    T.StructField("severity", T.StringType()),
+    T.StructField("pid", T.LongType()),
+    T.StructField("thread", T.StringType()),
+    T.StructField("client", T.StringType()),
+    T.StructField("port", T.LongType()),
+    T.StructField("message", T.StringType()),
+])
+
+PARSE_APACHE_LOG_TYPES = {}  # filled after parse_apache_log below
+
+
+def _to_ts(txt: Column, tfmt: str) -> Column:
+    """to_timestamp with one shim: Spark >= 3 cannot PARSE day-of-week
+    patterns (EEE), so a leading '%a ' (chrono) is dropped from both
+    the pattern and the text — the day name is redundant with the date."""
+    if tfmt.startswith("EEE "):
+        return F.to_timestamp(
+            F.regexp_replace(txt, r"^[A-Za-z]{3,9},?\s+", ""), tfmt[4:]
+        )
+    return F.to_timestamp(txt, tfmt)
+
+
+def parse_apache_log(col: Column, format: str = "common",  # noqa: A002
+                     timestamp_format: str | None = None) -> Column:
+    """Apache access/error log line -> typed struct, the exact field
+    set and names of the reference per format
+    (parse_apache_log.rs:19-27 format dispatch, kinds at :147-186):
+
+    - 'common' -> (host, identity, user, timestamp:timestamp, message,
+      method, path, protocol, status:long, size:long). `message` is the
+      full request text 'method SP path SP protocol' exactly as the
+      reference's nested message group captures it (log_util.rs:23-27).
+    - 'combined' -> common + (referrer, agent) (log_util.rs:44-62).
+    - 'error' -> (timestamp, module, severity, pid:long, thread,
+      client, port:long, message) — the flog-style simple variant
+      (log_util.rs:76-89; pid/port are integers per capture_value).
+
+    timestamp_format is a chrono strftime string (reference default
+    '%d/%b/%Y:%T %z', parse_apache_log.rs:16); VRL integers are i64,
+    hence long."""
+    if timestamp_format is None:
+        tfmt = "dd/MMM/yyyy:HH:mm:ss Z"
+    else:
+        from vector_spark.functions.vrl_map import _strptime_java
+
+        tfmt = _strptime_java(timestamp_format)
+    if format == "error":
+        from vector_spark.functions.parse import parse_regex
+
+        g = parse_regex(col, _APACHE_ERROR_RE, _APACHE_ERROR_GROUPS)
+        return F.struct(
+            _to_ts(g["timestamp"], tfmt).alias("timestamp"),
+            g["module"].alias("module"),
+            g["severity"].alias("severity"),
+            g["pid"].try_cast("bigint").alias("pid"),
+            g["thread"].alias("thread"),
+            g["client"].alias("client"),
+            g["port"].try_cast("bigint").alias("port"),
+            g["message"].alias("message"),
+        )
+    if format not in ("common", "combined"):
+        raise ValueError(f"unknown apache log format {format!r}")
+    grok = APACHE_COMMON_GROK if format == "common" else APACHE_COMBINED_GROK
+    g = grok_extract_native(col, grok)
+    fields = [
         F.nullif(g["host"], F.lit("-")).alias("host"),
         F.nullif(g["identity"], F.lit("-")).alias("identity"),
         F.nullif(g["user"], F.lit("-")).alias("user"),
-        F.to_timestamp(g["timestamp"], "dd/MMM/yyyy:HH:mm:ss Z").alias("timestamp"),
+        _to_ts(g["timestamp"], tfmt).alias("timestamp"),
         F.concat(g["method"], F.lit(" "), g["path"], F.lit(" "),
                  g["protocol"]).alias("message"),
         g["method"].alias("method"),
@@ -82,13 +178,24 @@ def parse_apache_log(col: Column) -> Column:
         g["protocol"].alias("protocol"),
         g["status"].try_cast("bigint").alias("status"),
         g["size"].try_cast("bigint").alias("size"),
-    )
+    ]
+    if format == "combined":
+        fields += [
+            F.nullif(g["referrer"], F.lit("-")).alias("referrer"),
+            F.nullif(g["agent"], F.lit("-")).alias("agent"),
+        ]
+    return F.struct(*fields)
 
 
 # VRL exposes common-log parsing both standalone and as the apache
 # 'common' format; keep both names.
 parse_common_log = parse_apache_log
 PARSE_COMMON_LOG_TYPE = PARSE_APACHE_LOG_TYPE
+PARSE_APACHE_LOG_TYPES.update({
+    "common": PARSE_APACHE_LOG_TYPE,
+    "combined": PARSE_APACHE_LOG_COMBINED_TYPE,
+    "error": PARSE_APACHE_LOG_ERROR_TYPE,
+})
 
 
 # nginx 'combined' (log_util.rs:110-131): identity is ALWAYS a literal

@@ -605,6 +605,11 @@ class _Compiler:
                 raise VrlUnsupported("`. = <non-object>` replacement")
             for n in list(self.env.order) + list(self.env.fields):
                 self.env.dropped.add(n)
+                # drop the stale binding too: get_field consults
+                # `fields` before `dropped`, so a previously-assigned
+                # field would otherwise resurrect through a later
+                # branch merge with its pre-replacement value
+                self.env.fields.pop(n, None)
             for f in val.vtype.fields:
                 self._event_set([("field", f.name)],
                                 Val(val.col.getField(f.name), f.dataType))
@@ -1134,6 +1139,14 @@ class _Compiler:
         for name in set(env_t.fields) | set(env_e.fields) | (
             env_t.dropped | env_e.dropped
         ):
+            if name in env_t.dropped and name in env_e.dropped:
+                # dropped on BOTH paths — incl. drops inherited from
+                # before the branch — stays dropped (resurrecting it
+                # null-valued re-widened `. = parse(...)`-replaced
+                # events with their pre-replacement columns)
+                base.dropped.add(name)
+                base.fields.pop(name, None)
+                continue
             tv = env_t.get_field(name)
             ev = env_e.get_field(name)
             if name in (env_t.dropped | env_e.dropped):
@@ -1197,8 +1210,18 @@ class _Compiler:
             out = Val(F.lit(None), None, fallible=True,
                       json=(_resolve(v), "$"))
             return self._bangify(node, out, v)
-        if name in ("type_def", "get_env_var", "log"):
+        if name in ("type_def", "get_env_var"):
             raise VrlUnsupported(f"{name}() has no DataFrame analogue")
+        if name == "log":
+            # log.rs: emits to the host's diagnostic log and returns
+            # null. The side effect has no per-row DataFrame analogue
+            # (observability belongs to df.observe/metrics); the
+            # dataflow value — null, infallible — is preserved, so
+            # programs that log-and-continue compile. Arguments still
+            # compile (they may carry `!` aborts the program relies on).
+            for _, e in node.args:
+                self.expr(e)
+            return _NULL()
         if name in ("push", "append"):
             return self._push_append(node)
         return self._registry_call(node)
@@ -1921,7 +1944,12 @@ class _Compiler:
             col = ent.fn(*pos, **kw)
         except TypeError as e:
             raise VrlUnsupported(f"{name}(): {e}") from e
-        out = Val(col, _RET.get(name), fallible=_fallible_fn(name))
+        ret = _RET.get(name)
+        if (name in ("parse_apache_log", "parse_common_log")
+                and isinstance(kw.get("format"), str)):
+            # the return shape depends on the format literal
+            ret = _presets.PARSE_APACHE_LOG_TYPES.get(kw["format"], ret)
+        out = Val(col, ret, fallible=_fallible_fn(name))
         return self._bangify(node, out, vals[0] if vals else None)
 
     def _to_coerce(self, node: FnCall) -> Val:
