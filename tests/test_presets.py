@@ -209,6 +209,44 @@ def test_nginx_combined_log_with_compression(spark):
     assert row.compression == "2.75"
 
 
+def test_nginx_error_log(spark):
+    from vector_spark.functions.presets import parse_nginx_log
+
+    # parse_nginx_log.rs error_line_valid
+    row = _one(
+        spark,
+        '2021/04/01 13:02:31 [error] 31#31: *1 open() '
+        '"/usr/share/nginx/html/not-found" failed '
+        '(2: No such file or directory), client: 172.17.0.1, '
+        'server: localhost, request: "POST /not-found HTTP/1.1", '
+        'host: "localhost:8081"',
+        lambda c: parse_nginx_log(c, format="error"),
+    )
+    assert row.timestamp == datetime.datetime(2021, 4, 1, 13, 2, 31)
+    assert row.severity == "error"
+    assert row.pid == 31 and row.tid == 31 and row.cid == 1
+    assert row.message == (
+        'open() "/usr/share/nginx/html/not-found" failed '
+        '(2: No such file or directory)'
+    )
+    assert row.client == "172.17.0.1" and row.server == "localhost"
+    assert row.request == "POST /not-found HTTP/1.1"
+    assert row.host == "localhost:8081" and row.upstream is None
+
+
+def test_nginx_error_log_excess(spark):
+    from vector_spark.functions.presets import parse_nginx_log
+
+    row = _one(
+        spark,
+        '2021/04/01 13:02:31 [error] 31#31: *1 limiting requests, '
+        'excess: 1.85 by zone "one", client: 172.17.0.1',
+        lambda c: parse_nginx_log(c, format="error"),
+    )
+    assert row.message == "limiting requests"
+    assert row.excess == 1.85 and row.zone == "one"
+
+
 def test_preset_declared_types_match_actual(spark):
     """The PARSE_*_TYPE schemas exported for the VRL compiler's _RET
     table must equal what the parsers actually produce (names + types,
@@ -217,7 +255,13 @@ def test_preset_declared_types_match_actual(spark):
 
     cases = [
         (P.parse_apache_log, P.PARSE_APACHE_LOG_TYPE),
+        (lambda c: P.parse_apache_log(c, format="combined"),
+         P.PARSE_APACHE_LOG_COMBINED_TYPE),
+        (lambda c: P.parse_apache_log(c, format="error"),
+         P.PARSE_APACHE_LOG_ERROR_TYPE),
         (P.parse_nginx_log, P.PARSE_NGINX_LOG_TYPE),
+        (lambda c: P.parse_nginx_log(c, format="error"),
+         P.PARSE_NGINX_LOG_ERROR_TYPE),
         (P.parse_syslog, P.PARSE_SYSLOG_TYPE),
         (P.parse_glog, P.PARSE_GLOG_TYPE),
         (P.parse_cef, P.PARSE_CEF_TYPE),

@@ -113,6 +113,14 @@ PARSE_APACHE_LOG_ERROR_TYPE = T.StructType([
 PARSE_APACHE_LOG_TYPES = {}  # filled after parse_apache_log below
 
 
+def _strptime_fmt(fmt: str) -> str:
+    """chrono strftime -> Spark pattern (late import: vrl_map imports
+    this module at load time)."""
+    from vector_spark.functions.vrl_map import _strptime_java
+
+    return _strptime_java(fmt)
+
+
 def _to_ts(txt: Column, tfmt: str) -> Column:
     """to_timestamp with one shim: Spark >= 3 cannot PARSE day-of-week
     patterns (EEE), so a leading '%a ' (chrono) is dropped from both
@@ -225,18 +233,90 @@ PARSE_NGINX_LOG_TYPE = T.StructType([
 ])
 
 
-def parse_nginx_log(col: Column) -> Column:
-    """nginx 'combined' access-log line -> struct(client, user,
-    timestamp:timestamp, request, method, path, protocol, status:long,
-    size:long, referer, agent, compression) — the reference's field
-    set and names (parse_nginx_log.rs:156-169, note 'referer' single-r
-    as in the nginx variable); '-' fields normalized to NULL.
-    `request` is the full quoted request text (log_util.rs:119-123)."""
+# nginx error log (REGEX_NGINX_ERROR_LOG, log_util.rs:134-155):
+# 'ts [severity] pid#tid: *cid message' + optional comma-separated
+# context clauses (excess/zone, client, server, request, upstream,
+# host, referer)
+_NGINX_ERROR_RE = (
+    r'^\s*(.+)\s+\[(\w+)\]\s+(\d+)#(\d+):(\s+\*(\d+))?\s+([^,]*)'
+    r'(,\s+excess:\s+([^\s]+)\sby\szone\s"([^,]+)")?'
+    r'(,\s+client:\s+([^,]+))?(,\s+server:\s+([^,]+))?'
+    r'(,\s+request:\s+"([^"]+)")?(,\s+upstream:\s+"([^"]+)")?'
+    r'(,\s+host:\s+"([^"]+)")?(,\s+refer?rer:\s+"([^"]+)")?\s*$'
+)
+_NGINX_ERROR_GROUPS = {
+    "timestamp": 1, "severity": 2, "pid": 3, "tid": 4, "cid": 6,
+    "message": 7, "excess": 9, "zone": 10, "client": 12, "server": 14,
+    "request": 16, "upstream": 18, "host": 20, "referer": 22,
+}
+
+PARSE_NGINX_LOG_ERROR_TYPE = T.StructType([
+    T.StructField("timestamp", T.TimestampType()),
+    T.StructField("severity", T.StringType()),
+    T.StructField("pid", T.LongType()),
+    T.StructField("tid", T.LongType()),
+    T.StructField("cid", T.LongType()),
+    T.StructField("message", T.StringType()),
+    T.StructField("excess", T.DoubleType()),
+    T.StructField("zone", T.StringType()),
+    T.StructField("client", T.StringType()),
+    T.StructField("server", T.StringType()),
+    T.StructField("request", T.StringType()),
+    T.StructField("upstream", T.StringType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("referer", T.StringType()),
+])
+
+PARSE_NGINX_LOG_TYPES = {}  # filled after parse_nginx_log below
+
+
+def parse_nginx_log(col: Column, format: str = "combined",  # noqa: A002
+                    timestamp_format: str | None = None) -> Column:
+    """nginx log line -> typed struct, the reference's field set and
+    names per format (parse_nginx_log.rs:103-112 format dispatch):
+
+    - 'combined' -> (client, user, timestamp:timestamp, request,
+      method, path, protocol, status:long, size:long, referer, agent,
+      compression) (kinds at :156-169; 'referer' single-r as in the
+      nginx variable); '-' fields normalized to NULL. `request` is the
+      full quoted request text (log_util.rs:119-123). Default stamp
+      '%d/%b/%Y:%T %z'.
+    - 'error' -> (timestamp, severity, pid:long, tid:long, cid:long,
+      message, excess:double, zone, client, server, request, upstream,
+      host, referer) per REGEX_NGINX_ERROR_LOG's capture set
+      (log_util.rs:134-155; pid/tid/cid integers and excess float per
+      capture_value). Default stamp '%Y/%m/%d %H:%M:%S'."""
+    if format == "error":
+        from vector_spark.functions.parse import parse_regex
+
+        tfmt = ("yyyy/MM/dd HH:mm:ss" if timestamp_format is None
+                else _strptime_fmt(timestamp_format))
+        g = parse_regex(col, _NGINX_ERROR_RE, _NGINX_ERROR_GROUPS)
+        return F.struct(
+            _to_ts(g["timestamp"], tfmt).alias("timestamp"),
+            g["severity"].alias("severity"),
+            g["pid"].try_cast("bigint").alias("pid"),
+            g["tid"].try_cast("bigint").alias("tid"),
+            g["cid"].try_cast("bigint").alias("cid"),
+            g["message"].alias("message"),
+            g["excess"].try_cast("double").alias("excess"),
+            g["zone"].alias("zone"),
+            g["client"].alias("client"),
+            g["server"].alias("server"),
+            g["request"].alias("request"),
+            g["upstream"].alias("upstream"),
+            g["host"].alias("host"),
+            g["referer"].alias("referer"),
+        )
+    if format != "combined":
+        raise ValueError(f"unknown nginx log format {format!r}")
     g = grok_extract_native(col, NGINX_COMBINED_GROK, literal_text=False)
+    tfmt = ("dd/MMM/yyyy:HH:mm:ss Z" if timestamp_format is None
+            else _strptime_fmt(timestamp_format))
     return F.struct(
         F.nullif(g["client"], F.lit("-")).alias("client"),
         F.nullif(g["user"], F.lit("-")).alias("user"),
-        F.to_timestamp(g["timestamp"], "dd/MMM/yyyy:HH:mm:ss Z").alias("timestamp"),
+        _to_ts(g["timestamp"], tfmt).alias("timestamp"),
         F.concat(g["method"], F.lit(" "), g["path"], F.lit(" "),
                  g["protocol"]).alias("request"),
         g["method"].alias("method"),
@@ -249,6 +329,12 @@ def parse_nginx_log(col: Column) -> Column:
         F.nullif(F.nullif(g["compression"], F.lit("")), F.lit("-"))
         .alias("compression"),
     )
+
+
+PARSE_NGINX_LOG_TYPES.update({
+    "combined": PARSE_NGINX_LOG_TYPE,
+    "error": PARSE_NGINX_LOG_ERROR_TYPE,
+})
 
 
 # severity/facility keyword tables — syslog_loose's as_str() names,

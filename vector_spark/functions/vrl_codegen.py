@@ -1949,6 +1949,8 @@ class _Compiler:
                 and isinstance(kw.get("format"), str)):
             # the return shape depends on the format literal
             ret = _presets.PARSE_APACHE_LOG_TYPES.get(kw["format"], ret)
+        if name == "parse_nginx_log" and isinstance(kw.get("format"), str):
+            ret = _presets.PARSE_NGINX_LOG_TYPES.get(kw["format"], ret)
         out = Val(col, ret, fallible=_fallible_fn(name))
         return self._bangify(node, out, vals[0] if vals else None)
 
