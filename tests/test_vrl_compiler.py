@@ -377,6 +377,12 @@ EXTRA_KNOWN_DIVERGENT = {
     # per-operand error state through || / && chains; our Columns fold
     # the error to NULL before the ?? sees which side erred
     "internal/coalesced_fallible_op.vrl",
+    # 18 `f!(parsed[i])` statements: every abort guard re-inlines all
+    # prior token-array trees (no cross-lambda CSE), and the ~O(n^2)
+    # expression blows up task serialization. Each building block
+    # (parse_tokens grammar, to_timestamp auto-ladder, paren groups)
+    # replays individually elsewhere.
+    "examples/parse_nginx_access_log.vrl",
 }
 
 EXTRA_SKIP_MARKERS = ALLOWED_SKIP_MARKERS + (
@@ -430,14 +436,17 @@ def test_vrl_extra_corpora_replay(spark):
             skipped.append((rel, "expected-error test"))
             continue
         try:
-            expected = json.loads(res_txt)
+            # raw_decode: the header parser keeps consuming comment
+            # lines past the result object when the program body opens
+            # with its own comments (e.g. parse_nginx_access_log.vrl)
+            expected, _ = json.JSONDecoder().raw_decode(res_txt.strip())
         except json.JSONDecodeError:
             skipped.append((rel, "non-JSON expected result"))
             continue
         obj = {}
         if obj_txt:
             try:
-                obj = json.loads(obj_txt)
+                obj, _ = json.JSONDecoder().raw_decode(obj_txt.strip())
             except json.JSONDecodeError:
                 skipped.append((rel, "non-JSON input object"))
                 continue

@@ -303,6 +303,13 @@ CASES = [
         ),
         ["apples", "peaches"],
     ),
+    (
+        "parse_tokens_grouped",
+        lambda: _fn("parse_tokens")(
+            L('[06/Nov/2014:19:10:38 +0600] 66.249.65.159 "msg here" -')
+        ),
+        ["06/Nov/2014:19:10:38 +0600", "66.249.65.159", "msg here", None],
+    ),
     # parse_tokens.rs (whitespace tokens; quoted/bracketed grouping is
     # documented out of this mapping's scope)
     ("parse_tokens", lambda: _fn("parse_tokens")(L("A simple sentence")), ["A", "simple", "sentence"]),

@@ -709,6 +709,16 @@ class _Compiler:
             inner_cur = _NULL()
         inner = self._with_path(inner_cur, rest, val)
         et = _unify_or_none(elem_t, inner.vtype)
+        if et is None and isinstance(cur.vtype, T.ArrayType) and not (
+                isinstance(elem_t, T.NullType)):
+            # writing a conflicting type into a typed array slot would
+            # silently try_cast the OTHER elements to null — loud
+            # unsupported beats quiet corruption (VRL arrays are
+            # heterogeneous; a static schema's aren't)
+            raise VrlUnsupported(
+                "static type coercion: heterogeneous array element "
+                f"assignment ({elem_t} slot, {inner.vtype} value)"
+            )
         if et is None or isinstance(et, T.NullType):
             et = inner.vtype if inner.vtype and not isinstance(
                 inner.vtype, T.NullType) else T.StringType()

@@ -17,6 +17,52 @@ from pyspark.sql import functions as F
 
 # --- parsing ---------------------------------------------------------------
 
+# token grammar of vector-common tokenize.rs:11-35: a token is a
+# bracketed [..] group (backslash escapes inside), a quoted ".." group,
+# or a run of chars outside ' \t["'
+_TOKEN_RX = r'(\[(?:\\.|[^\]\\])*\]|"(?:\\.|[^"\\])*"|[^ \t\["]+)'
+
+
+def parse_tokens(col: Column) -> Column:
+    """parse_tokens.rs:5-16 / tokenize.rs: whitespace-split except
+    "..." and [...] groups (delimiters stripped); '' and '-' tokens
+    -> NULL. One JVM regex pass + array transform, no Python."""
+    toks = F.regexp_extract_all(col, F.lit(_TOKEN_RX), 1)
+
+    def fix(t):
+        inner = F.when(
+            t.rlike(r'^\[.*\]$') | t.rlike(r'^".*"$'),
+            t.substr(F.lit(2), F.length(t) - 2),
+        ).otherwise(t)
+        return F.when(
+            (inner == "") | (inner == "-"), F.lit(None).cast("string")
+        ).otherwise(inner)
+
+    return F.transform(toks, fix)
+
+
+def to_timestamp_auto(col: Column) -> Column:
+    """to_timestamp's 'automatic' string parse — the reference tries a
+    fixed format ladder (conversion.rs:229-287: local formats, UNIX
+    seconds, RFC3339, then TZ'd formats incl. Common Log). Expressed as
+    one coalesce of try_to_timestamp rungs; pure-digit strings are UNIX
+    seconds exactly as %s ranks in the reference ladder. The RFC2822 /
+    `date`-output rungs with day-of-week names are not included (Spark
+    >= 3 cannot parse EEE)."""
+    c = F.trim(col.cast("string"))
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd HH:mm:ss")),     # %F %T
+        F.try_to_timestamp(c, F.lit("d-MMM-yyyy HH:mm:ss")),     # %v %T
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss")),   # %FT%T
+        F.try_to_timestamp(c, F.lit("MM/dd/yyyy:HH:mm:ss")),     # %m/%d/%Y:%T
+        F.when(c.rlike(r"^\d+$"),
+               F.timestamp_seconds(c.try_cast("long"))),         # %s
+        F.try_to_timestamp(c),              # ISO 8601 / RFC 3339 family
+        F.try_to_timestamp(c, F.lit("dd/MMM/yyyy:HH:mm:ss Z")),  # CLF
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    )
+
+
 def parse_duration(col: Column, unit: str = "ms") -> Column:
     """parse_duration.rs: '3m', '250ms', '1.5s' -> number in `unit`."""
     num = F.regexp_extract(col, r"^([0-9]*\.?[0-9]+)", 1).cast("double")

@@ -150,7 +150,7 @@ VRL: dict[str, VrlFn] = {
     "parse_common_log": VrlFn("compose", "presets.parse_common_log", parse_common_log),
     "parse_nginx_log": VrlFn("compose", "presets.parse_nginx_log (combined format struct)", parse_nginx_log),
     "parse_syslog": VrlFn("compose", "presets.parse_syslog (RFC3164 struct)", parse_syslog),
-    "parse_tokens": VrlFn("native", "F.split on token boundaries", lambda c: F.split(F.trim(c), r"\s+")),
+    "parse_tokens": VrlFn("compose", "vrl_compat.parse_tokens (tokenize.rs grammar: quoted/bracketed groups, '-' -> null)", V.parse_tokens),
     "parse_glog": VrlFn("compose", "presets.parse_glog (typed struct)", parse_glog),
     "parse_klog": VrlFn("compose", "presets.parse_klog (= glog layout)", parse_klog),
     "parse_cef": VrlFn("compose", "presets.parse_cef (header split + extension kv map)", parse_cef),
@@ -213,7 +213,7 @@ VRL: dict[str, VrlFn] = {
     "to_float": VrlFn("native", "cast('double')", lambda c: c.cast("double")),
     "to_int": VrlFn("native", "cast('bigint')", lambda c: c.cast("bigint")),
     "to_string": VrlFn("native", "cast('string')", lambda c: c.cast("string")),
-    "to_timestamp": VrlFn("native", "F.to_timestamp", F.to_timestamp),
+    "to_timestamp": VrlFn("compose", "vrl_compat.to_timestamp_auto (the reference's automatic format ladder incl. UNIX seconds and Common Log)", V.to_timestamp_auto),
     "to_unix_timestamp": VrlFn("native", "F.unix_timestamp", F.unix_timestamp),
     "to_regex": VrlFn("scope", "regex literals live in expressions, not columns", None),
     "boolean": VrlFn("native", "cast + isnull assert (type assertion)", None),
