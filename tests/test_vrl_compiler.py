@@ -45,7 +45,6 @@ KNOWN_DIVERGENT = {
 # else is a hard failure of this test
 ALLOWED_SKIP_MARKERS = (
     "type_def()",                # VRL type reflection == DataFrame schema
-    "%metadata",                 # no event metadata on a DataFrame row
     "closure argument",          # HOF closures are per-function features
     "expected-error test",       # file asserts compiler diagnostics
     "non-JSON expected result",  # result is diagnostic text / regex literal
@@ -153,8 +152,10 @@ def test_vrl_corpus_replay(spark):
         if not any(m in why for m in ALLOWED_SKIP_MARKERS)
     ]
     assert not bad_skips, f"unexplained skips: {bad_skips[:5]}"
-    # locked-in floor: 91 in-scope files replay exactly (never regress)
-    assert len(passed) >= 91, f"only {len(passed)} corpus files passed"
+    # locked-in floor: 93 in-scope files replay exactly (never regress)
+    # (r5 late: +2 — %metadata namespace support converted
+    # function_call/metadata_argument and arithmetic/addition/metadata)
+    assert len(passed) >= 93, f"only {len(passed)} corpus files passed"
 
 
 def test_remap_vrl_operator(spark):
@@ -386,7 +387,6 @@ EXTRA_KNOWN_DIVERGENT = {
 }
 
 EXTRA_SKIP_MARKERS = ALLOWED_SKIP_MARKERS + (
-    "%metadata",
     "del() with index path",  # del on coalesce/index paths — the one
                               # user is a type_def() reflection file
     "`. = <non-object>`",  # scalar event roots: a DataFrame row is an
@@ -523,6 +523,36 @@ def test_remap_source_two_ports(spark):
     drows = dropped.collect()
     assert [r.id for r in drows] == ["b"]
     assert drows[0].metadata_dropped.reason == "abort"
+
+
+def test_vrl_metadata_namespace(spark):
+    """%metadata (the event's second namespace): scratch reads/writes,
+    whole-namespace object reads in insertion order, branch merging,
+    del()/exists(), and NOT leaking into the emitted event."""
+    from vector_spark.functions.vrl_codegen import eval_vrl, remap_vrl
+
+    # corpus semantics: arithmetic over metadata, whole-% read
+    got, _, _ = eval_vrl(spark, '%foo = 1\n%bar = %foo + 5\n%', {})
+    assert got == {"foo": 1, "bar": 6}
+    # metadata as a function argument (function_call/metadata_argument)
+    got, _, _ = eval_vrl(spark, '%foo = "foo"\nsha1(%foo)', {})
+    assert got == "0beec7b5ea3f0fdbc95d0dd47f3c5bc275da8a33"
+    # dynamic branch merge + del + exists; unread %key is null-safe
+    got, _, _ = eval_vrl(
+        spark,
+        '% = {}\n'
+        '%a = "x"\n'
+        'if .n > 1 { %a = "y"; %b = 2 }\n'
+        '[%, exists(%a), exists(%zz), del(%b), %, %never]',
+        {"n": 5},
+    )
+    assert got == [{"a": "y", "b": 2}, True, False, 2, {"a": "y"}, None]
+    # metadata never reaches the emitted event (encode-time behavior)
+    df = spark.createDataFrame([("u", 3)], "role string, n int")
+    out = remap_vrl(df, '%tmp = .n * 2\n.doubled = %tmp')
+    row = out.collect()[0]
+    assert row.doubled == 6
+    assert set(out.columns) == {"role", "n", "doubled"}
 
 
 def test_remap_vrl_stays_jvm_side(spark):

@@ -35,6 +35,13 @@ typed engine cannot replicate every dynamic-typing edge):
   ``get_json_object`` with an accumulated JSONPath, so ``.a.b[0]`` on
   parsed JSON needs no schema and stays JVM-side; materializing an
   entire parsed object does require a schema and raises VrlUnsupported.
+- **%metadata is a compile-time namespace**: the event's second
+  namespace (``%foo`` paths) compiles exactly like VRL variables — a
+  per-event scratch dict of typed Columns that starts empty, merges
+  across if-branches, and is NOT part of the emitted event (matching
+  the reference, where metadata only reaches a sink if the program
+  copies it into the event). Sources here populate no metadata, so a
+  program reading ``%foo`` before writing it sees null.
 - function calls dispatch to the golden-replayed stdlib registry
   (functions/vrl_map.py VRL[name].fn) with literal-argument extraction;
   type-assert functions (string!/integer!/...) resolve against the
@@ -247,6 +254,14 @@ class Env:
         # apply() time depending on whether aborted rows are emitted
         self.cond_dropped: set[str] = set()
         self.vars: dict[str, Val] = {}
+        # %metadata: the event's second namespace (reference
+        # lib/vrl/compiler/src/state.rs external metadata). A remap
+        # program starts with empty metadata (sources populate it in the
+        # reference; this engine has no source-side metadata), uses it as
+        # per-event scratch space, and it is NOT part of the emitted
+        # event — exactly the reference's encode-time behavior.
+        self.meta: dict[str, Val] = {}
+        self.meta_order: list[str] = []
         self.abort: Column | None = None  # None = statically not aborted
 
     def clone(self) -> "Env":
@@ -257,6 +272,8 @@ class Env:
         e.dropped = set(self.dropped)
         e.cond_dropped = set(self.cond_dropped)
         e.vars = dict(self.vars)
+        e.meta = dict(self.meta)
+        e.meta_order = list(self.meta_order)
         e.abort = self.abort
         return e
 
@@ -500,6 +517,8 @@ class _Compiler:
             val = self._merge(cur, val)
         if kind == "event":
             self._event_set(target[1], val)
+        elif kind == "meta":
+            self._meta_set(target[1], val)
         elif kind == "var":
             name, path = target[1], target[2]
             if path:
@@ -513,6 +532,8 @@ class _Compiler:
     def _load_target(self, target) -> Val:
         if target[0] == "event":
             return self._event_get(target[1])
+        if target[0] == "meta":
+            return self._meta_get(target[1])
         if target[0] == "var":
             base = self.env.vars.get(target[1], _NULL())
             for seg in target[2]:
@@ -536,6 +557,59 @@ class _Compiler:
         for seg in path[1:]:
             base = self._get_seg(base, seg)
         return base
+
+    # -- %metadata paths ----------------------------------------------------
+    def _meta_get(self, path: list) -> Val:
+        if not path:
+            # whole-metadata read: struct of fields in insertion order
+            # (tests/expressions/arithmetic/addition/metadata.vrl expects
+            # {"foo": .., "bar": ..} in write order)
+            if not self.env.meta_order:
+                return Val(
+                    F.from_json(F.lit("{}"), T.StructType([])), T.StructType([])
+                )
+            cols, stype = [], []
+            for n in self.env.meta_order:
+                v = self.env.meta[n]
+                cols.append(_resolve(v).alias(n))
+                stype.append(T.StructField(n, v.vtype or T.StringType()))
+            return Val(F.struct(*cols), T.StructType(stype))
+        head = path[0]
+        if head[0] != "field":
+            raise VrlUnsupported("metadata root index path")
+        base = self.env.meta.get(head[1], _NULL())
+        for seg in path[1:]:
+            base = self._get_seg(base, seg)
+        return base
+
+    def _meta_set(self, path: list, val: Val) -> None:
+        if not path:
+            # `% = <object>`: replace the whole namespace; decompose a
+            # statically-typed struct into per-field slots
+            if isinstance(val.vtype, T.StructType):
+                self.env.meta = {}
+                self.env.meta_order = []
+                for f in val.vtype.fields:
+                    self.env.meta[f.name] = Val(
+                        val.col.getField(f.name), f.dataType
+                    )
+                    self.env.meta_order.append(f.name)
+                return
+            raise VrlUnsupported("metadata root assignment of a non-object")
+        head = path[0]
+        if head[0] != "field":
+            raise VrlUnsupported("metadata root index path")
+        name = head[1]
+        if path[1:]:
+            cur = self.env.meta.get(name, _NULL())
+            val = self._with_path(cur, path[1:], val)
+        if self.env.abort is not None:
+            old = self.env.meta.get(name, _NULL())
+            val = Val(self._guard(_resolve(val), _resolve(old)),
+                      _unify_or_none(val.vtype, old.vtype))
+        self.env.meta[name] = val
+        if name not in self.env.meta_order:
+            self.env.meta_order.append(name)
 
     def _whole_event(self) -> Val:
         names = [n for n in self.env.order if n not in self.env.dropped]
@@ -866,6 +940,8 @@ class _Compiler:
         tkind = node.target[0]
         if tkind == "event":
             return self._event_get(node.path)
+        if tkind == "meta":
+            return self._meta_get(node.path)
         if tkind == "var":
             base = self.env.vars.get(node.target[1])
             if base is None:
@@ -1169,6 +1245,13 @@ class _Compiler:
             tv = env_t.vars.get(name, base.vars.get(name, _NULL()))
             ev = env_e.vars.get(name, base.vars.get(name, _NULL()))
             base.vars[name] = merged(tv, ev)
+        for name in [*env_t.meta_order,
+                     *[n for n in env_e.meta_order if n not in env_t.meta_order]]:
+            tv = env_t.meta.get(name, base.meta.get(name, _NULL()))
+            ev = env_e.meta.get(name, base.meta.get(name, _NULL()))
+            base.meta[name] = merged(tv, ev)
+            if name not in base.meta_order:
+                base.meta_order.append(name)
         if env_t.abort is not None or env_e.abort is not None:
             if env_t.abort is env_e.abort:
                 base.abort = env_t.abort  # neither branch touched it
@@ -1670,6 +1753,14 @@ class _Compiler:
                 cur.col.dropFields(".".join(names)), newt
             )
             return old
+        if (isinstance(arg, Query) and arg.target[0] == "meta"
+                and len(arg.path) == 1 and arg.path[0][0] == "field"):
+            name = arg.path[0][1]
+            old = self._meta_get(arg.path)
+            self.env.meta.pop(name, None)
+            if name in self.env.meta_order:
+                self.env.meta_order.remove(name)
+            return old
         if not (isinstance(arg, Query) and arg.target[0] == "event"):
             raise VrlUnsupported("del() on non-event path")
         path = arg.path
@@ -1700,6 +1791,13 @@ class _Compiler:
 
     def _exists(self, node: FnCall) -> Val:
         arg = node.args[0][1]
+        if isinstance(arg, Query) and arg.target[0] == "meta":
+            if len(arg.path) == 1 and arg.path[0][0] == "field":
+                return _lit(arg.path[0][1] in self.env.meta, T.BooleanType())
+            v = self._meta_get(arg.path)
+            if isinstance(v.vtype, T.NullType):
+                return _lit(False, T.BooleanType())
+            return Val(_resolve(v).isNotNull(), T.BooleanType())
         if not (isinstance(arg, Query) and arg.target[0] == "event"):
             raise VrlUnsupported("exists() on non-event path")
         path = arg.path

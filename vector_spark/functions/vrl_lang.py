@@ -19,8 +19,10 @@ Spark Columns (vrl_codegen.py). Grammar fidelity notes:
   ``r'...'`` regex, ``t'...'`` timestamp, integer, float, true/false/null.
 - queries (parser.lalrpop:322-372): ``.a.b[0]``, ``."quoted field"``,
   root ``.``, variable paths ``x.a``, call-result paths ``f().a`` and
-  path coalescing ``.(a|b)``; ``%metadata`` paths are recognized and
-  rejected (no metadata concept on a DataFrame row).
+  path coalescing ``.(a|b)``; ``%metadata`` paths (the event's second
+  namespace, lib/vrl/parser/src/lex.rs PathField after ``%``) parse to
+  ``("meta", path)`` targets / ``Query(("meta",), path)`` terms — the
+  codegen carries them as a per-event scratch namespace.
 - assignment (parser.lalrpop:221-252): single target, ``ok, err =``
   infallible pattern, ``_`` no-op target, ``=`` and ``|=``.
 - function calls with the ``!`` abort-on-error marker and named
@@ -432,7 +434,9 @@ class _Parser:
             path = self._path(allow_empty=True)
             return ("event", path)
         if t.kind == "%":
-            raise VrlUnsupported("%metadata paths are not supported")
+            self.next()
+            path = self._path(allow_empty=True)
+            return ("meta", path)
         if t.kind == "IDENT":
             # variable target (with optional path) — but only if it is NOT
             # a function call
@@ -531,7 +535,9 @@ class _Parser:
             path = self._path(allow_empty=True)
             return Query(("event",), path)
         if t.kind == "%":
-            raise VrlUnsupported("%metadata paths are not supported")
+            self.next()
+            path = self._path(allow_empty=True)
+            return Query(("meta",), path)
         if t.kind == "IDENT":
             if self._is_call_start():
                 call = self._call()
