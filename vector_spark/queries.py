@@ -3432,8 +3432,14 @@ if .role == "system" { abort }
 .tool = .tool || "none"
 .text_len = length(.text)
 .ts_epoch = to_unix_timestamp!(.ts)
-.level = parse_json(.text).level ?? "none"
-.attempt = parse_json(.text).attempt ?? "-1"
+
+# %metadata as per-event scratch (the event's second namespace,
+# late-r5): parsed values land in metadata first and are copied into
+# the event — metadata itself never reaches the sink
+%lvl = parse_json(.text).level ?? "none"
+%att = parse_json(.text).attempt ?? "-1"
+.level = %lvl
+.attempt = %att
 
 # iteration idioms (rfcs/8381): for_each compiles to a packed-
 # accumulator F.aggregate fold — a single JVM expression per row
@@ -3458,7 +3464,9 @@ def q_op_remap_vrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whole-stage codegen, zero Python, JSON paths via get_json_object)
     and exercises type-assert + abort routing, ||-defaulting, the
     parse_json proxy, `??` error coalescing, to_int on a dynamic
-    value, and the rfcs/8381 iteration idioms: for_each accumulation
+    value, the %metadata scratch namespace (parse into %lvl/%att,
+    copy into the event — metadata never reaches the sink), and the
+    rfcs/8381 iteration idioms: for_each accumulation
     over a split array (packed-struct F.aggregate fold) and the
     regex-list match flag (dynamic-pattern regexp_like inside the
     fold). The compiler itself is golden-verified against the
