@@ -141,6 +141,73 @@ def test_dd_condition_in_spec(spark, events_df):
     assert got == want > 0
 
 
+def test_vrl_condition_in_spec(spark, events_df):
+    """VRL boolean-expression conditions (src/conditions/vrl.rs):
+    both the 'vrl:' string prefix and the reference's TOML
+    condition-table shape {type="vrl", source=...}; runtime errors
+    evaluate to false instead of failing the pipeline."""
+    from vector_spark.plans.pipeline import Pipeline
+
+    spec = {
+        "sources": {"ev": {"type": "injected"}},
+        "transforms": {
+            "errs": {
+                "type": "filter",
+                "inputs": ["ev"],
+                "condition": 'vrl: .event_type == "error" && .value >= 0',
+            },
+            "tbl": {
+                "type": "filter",
+                "inputs": ["ev"],
+                "condition": {
+                    "type": "vrl",
+                    "source": '.event_type == "error" && .value >= 0',
+                },
+            },
+        },
+    }
+    ports = Pipeline(spec, spark).compile({"ev": events_df})
+    want = events_df.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 0)
+    ).count()
+    assert ports["errs"].count() == want > 0
+    assert ports["tbl"].count() == want
+
+
+def test_vrl_condition_semantics(spark, events_df):
+    """vrl_cond contract: read-only enforcement (set_read_only),
+    error->false, non-boolean result -> false."""
+    import pytest
+
+    from vector_spark.conditions import vrl_cond
+    from vector_spark.functions.vrl_codegen import VrlCompileError
+
+    n = events_df.count()
+    # runtime error -> false (reference: VrlConditionExecutionError)
+    assert events_df.filter(
+        vrl_cond('(to_int(.event_type) ?? -1) > 0', events_df)
+    ).count() == 0
+    # missing path -> null -> false, never a crash
+    assert events_df.filter(
+        vrl_cond('.no_such_field == "x"', events_df)
+    ).count() == 0
+    # statically non-boolean result -> constant false
+    assert events_df.filter(vrl_cond('.value + 1', events_df)).count() == 0
+    # negated form still true somewhere (sanity the compiler is live)
+    assert 0 < events_df.filter(
+        vrl_cond('.event_type != "error"', events_df)
+    ).count() < n
+    # mutation is a compile error
+    with pytest.raises(VrlCompileError):
+        vrl_cond('.x = 1\ntrue', events_df)
+    with pytest.raises(VrlCompileError):
+        vrl_cond('del(.event_type) != null', events_df)
+    with pytest.raises(VrlCompileError):
+        vrl_cond('%m = 1\ntrue', events_df)
+    with pytest.raises(VrlCompileError):
+        vrl_cond('abort', events_df)
+
+
 def test_from_toml(spark, events_df):
     """TOML configs (the reference's vector.toml surface) compile to
     the same DAG as dict specs."""

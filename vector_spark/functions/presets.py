@@ -157,9 +157,9 @@ def parse_apache_log(col: Column, format: str = "common",  # noqa: A002
 
         tfmt = _strptime_java(timestamp_format)
     if format == "error":
-        from vector_spark.functions.parse import parse_regex
+        from vector_spark.functions.parse import parse_regex_onepass
 
-        g = parse_regex(col, _APACHE_ERROR_RE, _APACHE_ERROR_GROUPS)
+        g = parse_regex_onepass(col, _APACHE_ERROR_RE, _APACHE_ERROR_GROUPS)
         return F.struct(
             _to_ts(g["timestamp"], tfmt).alias("timestamp"),
             g["module"].alias("module"),
@@ -287,11 +287,11 @@ def parse_nginx_log(col: Column, format: str = "combined",  # noqa: A002
       (log_util.rs:134-155; pid/tid/cid integers and excess float per
       capture_value). Default stamp '%Y/%m/%d %H:%M:%S'."""
     if format == "error":
-        from vector_spark.functions.parse import parse_regex
+        from vector_spark.functions.parse import parse_regex_onepass
 
         tfmt = ("yyyy/MM/dd HH:mm:ss" if timestamp_format is None
                 else _strptime_fmt(timestamp_format))
-        g = parse_regex(col, _NGINX_ERROR_RE, _NGINX_ERROR_GROUPS)
+        g = parse_regex_onepass(col, _NGINX_ERROR_RE, _NGINX_ERROR_GROUPS)
         return F.struct(
             _to_ts(g["timestamp"], tfmt).alias("timestamp"),
             g["severity"].alias("severity"),
@@ -351,15 +351,13 @@ _SYSLOG_FACILITY_NAMES = [
 
 # RFC5424: <pri>VERSION SP TIMESTAMP SP HOSTNAME SP APP-NAME SP PROCID
 # SP MSGID SP STRUCTURED-DATA [SP MSG]; nil fields are '-', SD is '-'
-# or [..] blocks (no unescaped ']' inside an element)
-_SYSLOG_5424_RE = (
-    r"^<(\d{1,3})>(\d{1,2}) (\S+) (\S+) (\S+) (\S+) (\S+) "
-    r"(-|(?:\[[^\]]*\])+)(?: (.*))?$"
+# or [..] blocks (no unescaped ']' inside an element). Unanchored BODY:
+# parse_syslog composes it into one anchored alternation with the
+# RFC3164 grok so both dialects cost a single regex pass (groups 1-9).
+_SYSLOG_5424_BODY = (
+    r"<(\d{1,3})>(\d{1,2}) (\S+) (\S+) (\S+) (\S+) (\S+) "
+    r"(-|(?:\[[^\]]*\])+)(?: (.*))?"
 )
-_SYSLOG_5424_GROUPS = {
-    "pri": 1, "version": 2, "timestamp": 3, "hostname": 4,
-    "appname": 5, "procid": 6, "msgid": 7, "sd": 8, "message": 9,
-}
 
 PARSE_SYSLOG_TYPE = T.StructType([
     T.StructField("message", T.StringType()),
@@ -394,34 +392,61 @@ def parse_syslog(col: Column) -> Column:
     (numeric procids; alphanumeric RFC5424 PROCIDs null out). RFC5424
     STRUCTURED-DATA elements become dynamic root keys in the reference;
     a static schema cannot grow per-row columns, so SD is matched but
-    not expanded."""
-    from vector_spark.functions.parse import parse_regex
+    not expanded.
 
-    is5424 = col.rlike(r"^<\d{1,3}>\d{1,2} ")
-    g5 = parse_regex(col, _SYSLOG_5424_RE, _SYSLOG_5424_GROUPS)
-    g3 = grok_extract_native(col, SYSLOG_3164_GROK)
+    ONE regex pass for both dialects: the RFC5424 body and the
+    compiled RFC3164 grok join into a single anchored alternation
+    (`^(?:5424)$|^(?:3164)$` — ordered like syslog_loose, RFC5424
+    first), applied once via the sentinel-replace trick; every output
+    field indexes the shared split array, and dialect selection is
+    COALESCE over the disjoint group slots (a line matches exactly one
+    alternative, so the other dialect's slots are empty). Branch-free
+    on purpose: per-field `when(is5424, ...)` selection re-runs the
+    extraction for every field because Spark's subexpression
+    elimination does not hoist out of conditional branches (bench:
+    12 s vs 1.6 s at sf0.1, 600k lines)."""
+    from vector_spark.functions.grok import _capture_indices, grok_to_regex
 
-    def pick(f5, f3):
-        return F.when(is5424, f5).otherwise(f3)
+    re3, f3names = grok_to_regex(SYSLOG_3164_GROK, flavor="java")
+    idx3 = _capture_indices(re3)
+    off = 9  # capture groups in _SYSLOG_5424_BODY
+    combined = f"^(?:{_SYSLOG_5424_BODY})$|^(?:{re3})$"
+    pos3 = {
+        name: off + idx3[f"g{i}"] for i, name in enumerate(f3names, start=1)
+    }
+    # arr slot order: 5424 pri/version/timestamp/hostname/appname/
+    # procid/msgid/message ($8 = SD, matched but not extracted), then
+    # the 3164 fields
+    order = [1, 2, 3, 4, 5, 6, 7, 9,
+             pos3["pri"], pos3["tstxt"], pos3["host"],
+             pos3["program"], pos3["pid"], pos3["message"]]
+    sep = "\x01"
+    repl = sep.join(f"${g}" for g in order)
+    arr = F.when(
+        col.rlike(combined),
+        F.split(F.regexp_replace(col, combined, repl), sep, -1),
+    )
+
+    def slot(i):  # 1-based position in `order`; ''/non-participating -> NULL
+        return F.nullif(F.try_element_at(arr, F.lit(i)), F.lit(""))
 
     def nil(c):
         return F.nullif(c, F.lit("-"))
 
-    pri = pick(g5["pri"], g3["pri"]).try_cast("int")
-    ts5 = F.try_to_timestamp(nil(g5["timestamp"]))
+    pri = F.coalesce(slot(1), slot(9)).try_cast("int")
     return F.struct(
-        pick(g5["message"], g3["message"]).alias("message"),
-        nil(pick(g5["hostname"], g3["host"])).alias("hostname"),
+        F.coalesce(slot(8), slot(14)).alias("message"),
+        nil(F.coalesce(slot(4), slot(11))).alias("hostname"),
         _code_name(F.pmod(pri, F.lit(8)), _SYSLOG_SEVERITY_NAMES)
         .alias("severity"),
         _code_name(F.floor(pri / 8).cast("int"), _SYSLOG_FACILITY_NAMES)
         .alias("facility"),
-        nil(pick(g5["appname"], g3["program"])).alias("appname"),
-        nil(pick(g5["procid"], g3["pid"])).try_cast("bigint").alias("procid"),
-        F.when(is5424, nil(g5["msgid"])).alias("msgid"),
-        F.when(is5424, g5["version"]).try_cast("bigint").alias("version"),
-        F.when(is5424, ts5).alias("timestamp"),
-        pick(nil(g5["timestamp"]), g3["tstxt"]).alias("tstxt"),
+        nil(F.coalesce(slot(5), slot(12))).alias("appname"),
+        nil(F.coalesce(slot(6), slot(13))).try_cast("bigint").alias("procid"),
+        nil(slot(7)).alias("msgid"),
+        slot(2).try_cast("bigint").alias("version"),
+        F.try_to_timestamp(nil(slot(3))).alias("timestamp"),
+        F.coalesce(nil(slot(3)), slot(10)).alias("tstxt"),
     )
 
 
@@ -456,13 +481,13 @@ def parse_glog(col: Column) -> Column:
     line:int, message). kubernetes klog uses the identical layout
     (parse_glog.rs / parse_klog.rs; year is not on the wire — resolving
     it is the caller's policy, as in the reference)."""
-    from vector_spark.functions.parse import parse_regex
+    from vector_spark.functions.parse import parse_regex_onepass
 
     groups = {
         "level": 1, "month": 2, "day": 3, "timetxt": 4,
         "thread_id": 5, "file": 6, "line": 7, "message": 8,
     }
-    g = parse_regex(col, _GLOG_RE, groups)
+    g = parse_regex_onepass(col, _GLOG_RE, groups)
     level = g["level"]
     level_name = (
         F.when(level == "I", "info")
@@ -591,10 +616,10 @@ PARSE_AWS_ALB_LOG_TYPE = T.StructType(
 def parse_aws_alb_log(col: Column) -> Column:
     """AWS ALB access-log core fields -> typed struct; '-' -> NULL
     (parse_aws_alb_log.rs)."""
-    from vector_spark.functions.parse import parse_regex
+    from vector_spark.functions.parse import parse_regex_onepass
 
     groups = {name: i for i, (name, _) in enumerate(_ALB_FIELDS, start=1)}
-    g = parse_regex(col, _ALB_RE, groups)
+    g = parse_regex_onepass(col, _ALB_RE, groups)
     out = []
     for name, typ in _ALB_FIELDS:
         v = F.nullif(g[name], F.lit("-"))

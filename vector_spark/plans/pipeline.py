@@ -41,16 +41,34 @@ from vector_spark.operators.throttle import throttle
 
 
 def _cond(c, df: DataFrame | None = None) -> Column:
-    """Conditions may be Columns, SQL strings, or — with a 'dd:'
-    prefix — Datadog search query strings compiled through
-    conditions.datadog_search (the reference's second condition type,
-    src/conditions/mod.rs:22-47). The DataFrame, when in scope, gives
-    the dd compiler schema-aware field resolution."""
+    """Conditions may be Columns, SQL strings, 'dd:'-prefixed Datadog
+    search query strings, 'vrl:'-prefixed VRL boolean expressions, or
+    the reference's TOML condition-table shape
+    ``{type = "vrl"|"datadog_search", source = "..."}``
+    (src/conditions/mod.rs:22-47 — the full condition enum; the
+    is_log/is_metric/is_trace type tests are operators/event_kind.py
+    predicates). The DataFrame, when in scope, gives the dd and vrl
+    compilers schema-aware field resolution."""
+    if isinstance(c, Mapping):
+        kind, source = c.get("type"), c.get("source", "")
+        if kind == "vrl":
+            from vector_spark.conditions import vrl_cond
+
+            return vrl_cond(source, df)
+        if kind == "datadog_search":
+            from vector_spark.conditions import dd_query
+
+            return dd_query(source, df)
+        raise ValueError(f"unknown condition type {kind!r}")
     if isinstance(c, str):
         if c.startswith("dd:"):
             from vector_spark.conditions import dd_query
 
             return dd_query(c[3:].strip(), df)
+        if c.startswith("vrl:"):
+            from vector_spark.conditions import vrl_cond
+
+            return vrl_cond(c[4:].strip(), df)
         return F.expr(c)
     return c
 
