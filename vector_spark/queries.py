@@ -496,6 +496,59 @@ WHERE NOT (coalesce(event_type = 'error', FALSE)
 """
 
 
+def q_op_route_vrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route() driven by VRL boolean-expression conditions — the
+    reference's third condition type (src/conditions/vrl.rs, late-r5:
+    conditions/vrl_condition.py). The three predicates compile
+    through the VRL source compiler into JVM Columns and cover scalar
+    comparison, &&-composition, and the parse_json proxy with `??`
+    error-defaulting inside a condition; read-only-ness is enforced
+    at compile (a mutating condition is rejected)."""
+    from vector_spark.conditions import vrl_cond
+
+    ev = _tbl(spark, sf_dir, "events")
+    routed = route(
+        ev,
+        {
+            "hot": vrl_cond(".value > 150.0", ev),
+            "errors": vrl_cond(
+                '.event_type == "error" && .value >= 10.0', ev
+            ),
+            "k_high": vrl_cond(
+                "(to_int(parse_json(.props).k) ?? -1) >= 80", ev
+            ),
+        },
+    )
+    outs = [
+        rdf.select(F.lit(name).alias("route"), "event_id")
+        for name, rdf in routed.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+SQL_OP_ROUTE_VRL = """
+WITH k AS (
+  SELECT event_id, event_type, value,
+         coalesce(try_cast(json_extract_string(props, '$.k') AS BIGINT), -1) AS kv
+  FROM events
+)
+SELECT 'hot' AS route, event_id FROM k WHERE coalesce(value > 150.0, FALSE)
+UNION ALL
+SELECT 'errors' AS route, event_id FROM k
+WHERE coalesce(event_type = 'error', FALSE) AND coalesce(value >= 10.0, FALSE)
+UNION ALL
+SELECT 'k_high' AS route, event_id FROM k WHERE kv >= 80
+UNION ALL
+SELECT '_unmatched' AS route, event_id FROM k
+WHERE NOT (coalesce(value > 150.0, FALSE)
+           OR (coalesce(event_type = 'error', FALSE) AND coalesce(value >= 10.0, FALSE))
+           OR kv >= 80)
+"""
+
+
 def q_op_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _tbl(spark, sf_dir, "events").withColumn(
         "k", F.get_json_object(F.col("props"), "$.k").cast("bigint")
@@ -3573,6 +3626,7 @@ QUERIES = {
     # materialize lifecycle; components gained the dual-hash fixpoint
     # test
     "op_remap_vrl": q_op_remap_vrl,
+    "op_route_vrl": q_op_route_vrl,  # late-r5: VRL-source conditions
     "op_parse_grok_json": q_op_parse_grok_json,
     "dp_url_dedup": q_dp_url_dedup,
     "dp_sample_n": q_dp_sample_n,
@@ -3581,7 +3635,6 @@ QUERIES = {
     "mm_audio_resampled": q_mm_audio_resampled,
     "mm_video_checked": q_mm_video_checked,
     "mm_features_checked": q_mm_features_checked,
-    "mm_features": q_mm_features,  # rows-only
     "dp_pack_chunks": q_dp_pack_chunks,
     "dp_pack_manifest": q_dp_pack_manifest,
     "dp_pack_shuffled": q_dp_pack_shuffled,
@@ -3636,11 +3689,15 @@ QUERIES = {
     "op_agg_sketch_merge": q_op_agg_sketch_merge,
     "op_line_agg_modes": q_op_line_agg_modes,
     "dp_span_dedup": q_dp_span_dedup,
-    "dp_redact": q_dp_redact,
     # ---- >50 tail: r4 driver rows (one round old), value-checked
     # every CI run by test_oracle_parity at sf0.01 and sf0.1;
     # dp_stratified_sample/dp_tfidf_terms slid here when the two
-    # r5-new url/sampling entries took their window slots ----
+    # r5-new url/sampling entries took their window slots; dp_redact
+    # and the rows-only mm_features (its VALUE-checked twin
+    # mm_features_checked keeps its window slot) slid here when the
+    # late-r5 op_route_vrl took a slot ----
+    "dp_redact": q_dp_redact,
+    "mm_features": q_mm_features,  # rows-only
     "dp_stratified_sample": q_dp_stratified_sample,
     "dp_tfidf_terms": q_dp_tfidf_terms,
     "op_parse_grok_aliases": q_op_parse_grok_aliases,
@@ -3682,6 +3739,7 @@ QUERIES = {
 
 ORACLES = {
     "op_remap_vrl": SQL_OP_REMAP_VRL,
+    "op_route_vrl": SQL_OP_ROUTE_VRL,
     "op_parse_grok_json": SQL_OP_PARSE_GROK_JSON,
     "dp_span_dedup": SQL_DP_SPAN_DEDUP,
     "dp_redact": SQL_DP_REDACT,
