@@ -50,16 +50,35 @@ def parse_regex(col: Column, regex: str, groups: dict[str, int]) -> Column:
     return F.struct(*parts)
 
 
+def bind_once(value: Column, build) -> Column:
+    """Evaluate `value` exactly ONCE per row and feed it to build(v).
+
+    Binds the value as a higher-order-function lambda variable
+    (transform over a one-element array), which is STRUCTURALLY
+    single-evaluation — it does not depend on codegen subexpression
+    elimination. That matters for expensive shared subtrees (a regex
+    split array) referenced by many struct fields: when a query selects
+    individual fields, SimplifyExtractValueOps inlines each field into
+    its own expression tree, and any reference sitting inside a
+    conditional branch (when/nullif/coalesce are all CaseWhen sugar)
+    is skipped by Spark's subexpression elimination — the shared
+    subtree then re-executes once PER FIELD per row (bench:
+    op_parse_syslog 1.9 s -> 48 s at sf0.1 when every field re-ran the
+    two-dialect alternation regex). Hiding the struct construction
+    behind a lambda variable blocks the extract-value inlining at the
+    transform boundary, so `value` is computed once and every field is
+    a cheap bound-variable lookup."""
+    return F.element_at(F.transform(F.array(value), build), 1)
+
+
 def parse_regex_onepass(col: Column, regex: str, groups: dict[str, int]) -> Column:
     """parse_regex for ^-anchored patterns in ONE regex pass.
 
     Same trick as grok.grok_extract_native: one regexp_replace with a
     sentinel-joined $N template, split once, and every struct field
-    indexes the shared array — Spark's subexpression elimination will
-    not hoist per-field regexp_extracts out of when() branches, so the
-    per-group form executes the full regex groups-many times per row
-    (bench: op_parse_syslog 1.9 s -> ~12 s at sf0.1 when the RFC5424
-    side regressed to per-group extraction; this restores one-pass).
+    indexes the shared array — bound via bind_once so the regex
+    executes exactly once per row no matter how the caller projects
+    the struct's fields (see bind_once's docstring for the CSE trap).
 
     The pattern MUST be anchored at '^' (every preset pattern is); a
     missing end anchor is handled by consuming the tail with a
@@ -75,9 +94,11 @@ def parse_regex_onepass(col: Column, regex: str, groups: dict[str, int]) -> Colu
     arr = F.when(
         col.rlike(regex), F.split(F.regexp_replace(col, full, repl), sep, -1)
     )
-    parts = []
-    for i, name in enumerate(names):
-        parts.append(
-            F.nullif(F.try_element_at(arr, F.lit(i + 1)), F.lit("")).alias(name)
-        )
-    return F.struct(*parts)
+
+    def build(a: Column) -> Column:
+        return F.struct(*[
+            F.nullif(F.try_element_at(a, F.lit(i + 1)), F.lit("")).alias(name)
+            for i, name in enumerate(names)
+        ])
+
+    return bind_once(arr, build)

@@ -398,14 +398,16 @@ def parse_syslog(col: Column) -> Column:
     compiled RFC3164 grok join into a single anchored alternation
     (`^(?:5424)$|^(?:3164)$` — ordered like syslog_loose, RFC5424
     first), applied once via the sentinel-replace trick; every output
-    field indexes the shared split array, and dialect selection is
-    COALESCE over the disjoint group slots (a line matches exactly one
-    alternative, so the other dialect's slots are empty). Branch-free
-    on purpose: per-field `when(is5424, ...)` selection re-runs the
-    extraction for every field because Spark's subexpression
-    elimination does not hoist out of conditional branches (bench:
-    12 s vs 1.6 s at sf0.1, 600k lines)."""
+    field indexes the shared split array, which is bound as a lambda
+    variable via parse.bind_once so the alternation executes exactly
+    once per row. Plain struct-field references are NOT enough: the
+    nullif/coalesce wrappers are CaseWhen sugar, and Spark's
+    subexpression elimination skips conditional branches, so after
+    SimplifyExtractValueOps inlines the projected fields the regex
+    re-ran once per field (bench: 1.9 s -> 48 s at sf0.1, 600k
+    lines; bind_once restores the one-pass floor)."""
     from vector_spark.functions.grok import _capture_indices, grok_to_regex
+    from vector_spark.functions.parse import bind_once
 
     re3, f3names = grok_to_regex(SYSLOG_3164_GROK, flavor="java")
     idx3 = _capture_indices(re3)
@@ -427,27 +429,31 @@ def parse_syslog(col: Column) -> Column:
         F.split(F.regexp_replace(col, combined, repl), sep, -1),
     )
 
-    def slot(i):  # 1-based position in `order`; ''/non-participating -> NULL
-        return F.nullif(F.try_element_at(arr, F.lit(i)), F.lit(""))
+    def build(a: Column) -> Column:
+        def slot(i):  # 1-based position in `order`; ''/missing -> NULL
+            return F.nullif(F.try_element_at(a, F.lit(i)), F.lit(""))
 
-    def nil(c):
-        return F.nullif(c, F.lit("-"))
+        def nil(c):
+            return F.nullif(c, F.lit("-"))
 
-    pri = F.coalesce(slot(1), slot(9)).try_cast("int")
-    return F.struct(
-        F.coalesce(slot(8), slot(14)).alias("message"),
-        nil(F.coalesce(slot(4), slot(11))).alias("hostname"),
-        _code_name(F.pmod(pri, F.lit(8)), _SYSLOG_SEVERITY_NAMES)
-        .alias("severity"),
-        _code_name(F.floor(pri / 8).cast("int"), _SYSLOG_FACILITY_NAMES)
-        .alias("facility"),
-        nil(F.coalesce(slot(5), slot(12))).alias("appname"),
-        nil(F.coalesce(slot(6), slot(13))).try_cast("bigint").alias("procid"),
-        nil(slot(7)).alias("msgid"),
-        slot(2).try_cast("bigint").alias("version"),
-        F.try_to_timestamp(nil(slot(3))).alias("timestamp"),
-        F.coalesce(nil(slot(3)), slot(10)).alias("tstxt"),
-    )
+        pri = F.coalesce(slot(1), slot(9)).try_cast("int")
+        return F.struct(
+            F.coalesce(slot(8), slot(14)).alias("message"),
+            nil(F.coalesce(slot(4), slot(11))).alias("hostname"),
+            _code_name(F.pmod(pri, F.lit(8)), _SYSLOG_SEVERITY_NAMES)
+            .alias("severity"),
+            _code_name(F.floor(pri / 8).cast("int"), _SYSLOG_FACILITY_NAMES)
+            .alias("facility"),
+            nil(F.coalesce(slot(5), slot(12))).alias("appname"),
+            nil(F.coalesce(slot(6), slot(13))).try_cast("bigint")
+            .alias("procid"),
+            nil(slot(7)).alias("msgid"),
+            slot(2).try_cast("bigint").alias("version"),
+            F.try_to_timestamp(nil(slot(3))).alias("timestamp"),
+            F.coalesce(nil(slot(3)), slot(10)).alias("tstxt"),
+        )
+
+    return bind_once(arr, build)
 
 
 def parse_logfmt(col: Column) -> Column:
