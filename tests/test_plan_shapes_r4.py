@@ -87,3 +87,44 @@ def test_stratified_sample_zero_shuffle(spark, queries):
     plan = executed(queries["dp_stratified_sample"](spark, SF_DIR))
     assert "Exchange" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
+
+
+def _bind_once_pinned(plan: str) -> None:
+    # parse_syslog / parse_regex_onepass bind the sentinel-split array
+    # ONCE per row via functions/parse.py::bind_once: every
+    # regexp_replace in the optimized plan must sit inside the
+    # element_at(transform(array(...))) wrapper. After extract-value
+    # inlining each projected field carries its own TEXTUAL copy of
+    # that wrapper, but the copies are unconditional top-level
+    # subtrees, which codegen subexpression elimination collapses to
+    # one runtime evaluation. The pre-fix shape — the array referenced
+    # through nullif/coalesce conditionals WITHOUT the wrapper — is
+    # skipped by subexpression elimination (conditional branches) and
+    # re-ran the alternation once per field: 48-61 s vs 1.5 s at
+    # sf0.1. Wrapper-count == regex-count pins the fixed shape.
+    n_regex = plan.count("regexp_replace")
+    n_wrap = plan.count("element_at(transform(array(")
+    assert n_regex >= 1, plan
+    assert n_regex == n_wrap, f"{n_regex} regexp_replace vs {n_wrap} bind_once wrappers\n{plan[:4000]}"
+
+
+def test_parse_syslog_bind_once_shape(spark, queries):
+    df = queries["op_parse_syslog"](spark, SF_DIR)
+    _bind_once_pinned(df._jdf.queryExecution().optimizedPlan().toString())
+
+
+def test_onepass_presets_bind_once_shape(spark):
+    # Same pin for the parse_regex_onepass family (apache/nginx error,
+    # glog, ALB presets): projecting every struct field individually —
+    # the worst case for extract-value inlining.
+    from pyspark.sql import functions as F
+
+    from vector_spark.functions.presets import parse_nginx_log
+
+    df = spark.createDataFrame(
+        [("2024/01/01 00:00:00 [error] 1#1: *1 boom",)], "line string"
+    )
+    out = df.select(
+        parse_nginx_log(F.col("line"), format="error").alias("s")
+    ).select("s.*")
+    _bind_once_pinned(out._jdf.queryExecution().optimizedPlan().toString())
